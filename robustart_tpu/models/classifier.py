@@ -1,0 +1,95 @@
+"""Classifier bundle: module + variables + preprocessing, with pure fns.
+
+The reference couples "model" and "ImageNet normalization" at every attack
+boundary (NormalizeModel wrap, reference
+RobustART/noise/utils/adv/Attacks/autoattack/autoattack.py:12-23; hard-coded
+mean/std in attack.py:47 and imfgsm_attack.py:14-23). We make that contract
+explicit: a :class:`Classifier` consumes NHWC images in **[0,1]** and applies
+its own normalization inside the jitted forward, so every attack/solver
+composes with every model without re-plumbing constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from robustart_tpu.models.layers import IMAGENET_MEAN, IMAGENET_STD, normalize_01
+
+
+@dataclasses.dataclass
+class Classifier:
+    """A model + its state, operating on [0,1] NHWC images."""
+
+    name: str
+    module: nn.Module
+    variables: Any  # {'params': ..., 'batch_stats': ...}
+    mean: Sequence[float] = IMAGENET_MEAN
+    std: Sequence[float] = IMAGENET_STD
+    input_size: int = 224
+    num_classes: int = 1000
+
+    def apply_fn(
+        self,
+        variables: Any,
+        images01: jax.Array,
+        train: bool = False,
+        rngs: dict | None = None,
+    ):
+        """Pure forward: normalize + model apply. Safe to jit / grad through.
+
+        In train mode returns ``(logits, new_variables)`` (BN stats update);
+        in eval mode returns logits only.
+        """
+        x = normalize_01(images01, self.mean, self.std)
+        if train:
+            logits, updates = self.module.apply(
+                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+            )
+            return logits, updates
+        return self.module.apply(variables, x, train=False)
+
+    def logits_fn(self) -> Callable[[Any, jax.Array], jax.Array]:
+        """Eval-mode pure fn ``(variables, images01) -> logits`` for attacks."""
+
+        def fn(variables, images01):
+            return self.apply_fn(variables, images01, train=False)
+
+        return fn
+
+    def __call__(self, images01: jax.Array) -> jax.Array:
+        return self.apply_fn(self.variables, images01, train=False)
+
+    def predict(self, images01: jax.Array) -> jax.Array:
+        return jnp.argmax(self(images01), axis=-1)
+
+
+def init_classifier(
+    name: str,
+    module: nn.Module,
+    rng: jax.Array | int = 0,
+    input_size: int = 224,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+    num_classes: int | None = None,
+    batch_size: int = 1,
+) -> Classifier:
+    if isinstance(rng, int):
+        rng = jax.random.key(rng)
+    dummy = jnp.zeros((batch_size, input_size, input_size, 3), jnp.float32)
+    variables = module.init({"params": rng}, dummy, train=False)
+    if num_classes is None:
+        num_classes = getattr(module, "num_classes", 1000)
+    return Classifier(
+        name=name,
+        module=module,
+        variables=variables,
+        mean=mean,
+        std=std,
+        input_size=input_size,
+        num_classes=num_classes,
+    )

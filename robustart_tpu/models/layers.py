@@ -1,0 +1,130 @@
+"""Shared model building blocks (Flax, NHWC — the TPU-native layout).
+
+Notes on SyncBN: the reference toggles cross-replica batchnorm via
+``model.kwargs.bn.use_sync_bn`` (reference
+exprs/robust_baseline_exp/resnet/resnet50/config.yaml:5). Under ``jit`` with a
+batch-axis-sharded global array, Flax ``nn.BatchNorm`` moments are computed
+over the *logical* (global) batch and XLA inserts the cross-device reductions
+automatically — i.e. SyncBN is the natural semantics of the sharded
+formulation and needs no NCCL-style plumbing (SURVEY.md §2.11). Per-device
+(non-sync) statistics would be the special case; we intentionally run global
+stats in both settings since eval-mode running stats are what benchmarks use.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+# ImageNet preprocessing constants shared across the zoo (the reference bakes
+# these into attack wrappers and NormalizeModel: reference
+# RobustART/noise/utils/adv/attack.py:47, Attacks/autoattack/autoattack.py:16-17).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+# CLIP towers use their own normalization.
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+# Inception-style normalization used by some timm-style models.
+INCEPTION_MEAN = (0.5, 0.5, 0.5)
+INCEPTION_STD = (0.5, 0.5, 0.5)
+
+
+def normalize_01(x: jax.Array, mean: Sequence[float], std: Sequence[float]) -> jax.Array:
+    """Normalize NHWC [0,1] images with per-channel mean/std (on device)."""
+    mean_arr = jnp.asarray(mean, dtype=x.dtype).reshape(1, 1, 1, -1)
+    std_arr = jnp.asarray(std, dtype=x.dtype).reshape(1, 1, 1, -1)
+    return (x - mean_arr) / std_arr
+
+
+def denormalize(x: jax.Array, mean: Sequence[float], std: Sequence[float]) -> jax.Array:
+    mean_arr = jnp.asarray(mean, dtype=x.dtype).reshape(1, 1, 1, -1)
+    std_arr = jnp.asarray(std, dtype=x.dtype).reshape(1, 1, 1, -1)
+    return x * std_arr + mean_arr
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (per-sample residual drop)."""
+
+    rate: float
+    deterministic: bool | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool | None = None) -> jax.Array:
+        deterministic = nn.merge_param(
+            "deterministic", self.deterministic, deterministic
+        )
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+def conv_kernel_init(key, shape, dtype=jnp.float32):
+    """He (fan-out) normal init, matching torchvision conv defaults."""
+    fan_out = shape[0] * shape[1] * shape[3]
+    std = jnp.sqrt(2.0 / fan_out)
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class MaxPool2d(nn.Module):
+    """3x3/2 max-pool with torch-style padding=1 semantics."""
+
+    window: int = 3
+    stride: int = 2
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = [(0, 0), (self.padding, self.padding), (self.padding, self.padding), (0, 0)]
+        return jax.lax.reduce_window(
+            x,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(1, self.window, self.window, 1),
+            window_strides=(1, self.stride, self.stride, 1),
+            padding=pad,
+        )
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    return jnp.mean(x, axis=(1, 2))
+
+
+def make_norm(
+    norm: str = "bn",
+    momentum: float = 0.9,
+    epsilon: float = 1e-5,
+    dtype: Any = jnp.float32,
+) -> Callable[..., nn.Module]:
+    """Factory for the normalization layer used across CNN families."""
+    if norm == "bn":
+        def bn(**kwargs):
+            return nn.BatchNorm(
+                use_running_average=None,
+                momentum=momentum,
+                epsilon=epsilon,
+                dtype=dtype,
+                **kwargs,
+            )
+        return bn
+    if norm == "ln":
+        def ln(**kwargs):
+            return nn.LayerNorm(epsilon=1e-6, dtype=dtype, **kwargs)
+        return ln
+    raise ValueError(f"unknown norm {norm!r}")
+
+
+def hardswish(x: jax.Array) -> jax.Array:
+    return x * jax.nn.relu6(x + 3.0) / 6.0
+
+
+def hardsigmoid(x: jax.Array) -> jax.Array:
+    return jax.nn.relu6(x + 3.0) / 6.0

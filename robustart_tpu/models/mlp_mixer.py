@@ -1,0 +1,102 @@
+"""MLP-Mixer: ``mixer_b16_224`` and ``mixer_L16_224``.
+
+Parity names from reference exprs/robust_baseline_exp/mlp_mixer/*/config.yaml
+(kwargs: drop_path / drop_path_rate). All compute is batched matmuls — ideal
+MXU shape; token-mixing operates on transposed tokens so both MLPs hit the
+systolic array.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from robustart_tpu.models.layers import DropPath
+
+
+class MixerMlp(nn.Module):
+    hidden_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_dim = x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class MixerBlock(nn.Module):
+    tokens_mlp_dim: int
+    channels_mlp_dim: int
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = jnp.swapaxes(y, 1, 2)
+        y = MixerMlp(self.tokens_mlp_dim, dtype=self.dtype, name="mlp_tokens")(y)
+        y = jnp.swapaxes(y, 1, 2)
+        x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = MixerMlp(self.channels_mlp_dim, dtype=self.dtype, name="mlp_channels")(y)
+        return x + DropPath(self.drop_path)(y, deterministic=deterministic)
+
+
+class MlpMixer(nn.Module):
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    tokens_mlp_dim: int = 384
+    channels_mlp_dim: int = 3072
+    num_classes: int = 1000
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        deterministic = not train
+        b = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="stem",
+        )(x)
+        x = x.reshape(b, -1, self.embed_dim)
+        for i in range(self.depth):
+            x = MixerBlock(
+                self.tokens_mlp_dim,
+                self.channels_mlp_dim,
+                drop_path=self.drop_path,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = jnp.mean(x, axis=1).astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+def mixer_b16_224(**kw):
+    kw.pop("bn", None)
+    kw.pop("drop_path_rate", None)
+    return MlpMixer(
+        patch_size=16, embed_dim=768, depth=12,
+        tokens_mlp_dim=384, channels_mlp_dim=3072, **kw,
+    )
+
+
+def mixer_L16_224(**kw):
+    kw.pop("bn", None)
+    kw.pop("drop_path_rate", None)
+    return MlpMixer(
+        patch_size=16, embed_dim=1024, depth=24,
+        tokens_mlp_dim=512, channels_mlp_dim=4096, **kw,
+    )

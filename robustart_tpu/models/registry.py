@@ -1,0 +1,113 @@
+"""Model zoo registry — ``get_model(name, **kwargs)``.
+
+Equivalent of the reference's ``prototype.prototype.model.get_model``
+(re-exported at reference RobustART/model/__init__.py:1; name vocabulary from
+exprs/*/config.yaml ``model.type`` values, SURVEY.md §2.9). Returns a Flax
+module; use :func:`create_classifier` for an initialized bundle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+
+from robustart_tpu.core.registry import Registry
+from robustart_tpu.models import mlp_mixer, resnet, vit
+from robustart_tpu.models.classifier import Classifier, init_classifier
+from robustart_tpu.models.layers import (
+    CLIP_MEAN,
+    CLIP_STD,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+
+MODELS = Registry("model")
+
+# name → (factory, default input size, mean, std)
+_IMAGENET = (IMAGENET_MEAN, IMAGENET_STD)
+
+
+def _register_family(entries: dict[str, Any], input_size: int = 224,
+                     mean_std=_IMAGENET) -> None:
+    for name, factory in entries.items():
+        MODELS.register(name)(factory)
+        _META[name] = {
+            "input_size": input_size,
+            "mean": mean_std[0],
+            "std": mean_std[1],
+        }
+
+
+_META: dict[str, dict[str, Any]] = {}
+
+_register_family(
+    {
+        # reference names both with and without the `_official` suffix
+        "resnet18": resnet.resnet18,
+        "resnet18_official": resnet.resnet18,
+        "resnet34": resnet.resnet34,
+        "resnet34_official": resnet.resnet34,
+        "resnet50": resnet.resnet50,
+        "resnet50_official": resnet.resnet50,
+        "resnet101": resnet.resnet101,
+        "resnet101_official": resnet.resnet101,
+        "resnet152": resnet.resnet152,
+        "resnet152_official": resnet.resnet152,
+        "wide_resnet50_2": resnet.wide_resnet50_2,
+        "wide_resnet101_2": resnet.wide_resnet101_2,
+        "resnext50_32x4d": resnet.resnext50_32x4d,
+        "resnext101_32x8d": resnet.resnext101_32x8d,
+    }
+)
+_register_family(
+    {
+        "vit_b16_224": vit.vit_b16_224,
+        "vit_base": vit.vit_b16_224,  # alias used by eval-loop configs
+        "vit_b32_224": vit.vit_b32_224,
+        "deit_tiny_b16_224": vit.deit_tiny_b16_224,
+        "deit_small_b16_224": vit.deit_small_b16_224,
+        "deit_base_b16_224": vit.deit_base_b16_224,
+    }
+)
+_register_family(
+    {
+        "mixer_b16_224": mlp_mixer.mixer_b16_224,
+        "mixer_L16_224": mlp_mixer.mixer_L16_224,
+    }
+)
+
+
+def model_names() -> list[str]:
+    return MODELS.names()
+
+
+def model_meta(name: str) -> dict[str, Any]:
+    return dict(_META[name])
+
+
+def get_model(name: str, **kwargs: Any):
+    """Build a Flax module by zoo name with reference kwargs vocabulary."""
+    return MODELS.create(name, **kwargs)
+
+
+def create_classifier(
+    name: str,
+    rng: jax.Array | int = 0,
+    input_size: int | None = None,
+    mean: Sequence[float] | None = None,
+    std: Sequence[float] | None = None,
+    **kwargs: Any,
+) -> Classifier:
+    """Build and initialize a :class:`Classifier` bundle by zoo name."""
+    meta = model_meta(name)
+    module = get_model(name, **kwargs)
+    return init_classifier(
+        name,
+        module,
+        rng=rng,
+        input_size=input_size or meta["input_size"],
+        mean=mean or meta["mean"],
+        std=std or meta["std"],
+        num_classes=kwargs.get("num_classes"),
+    )

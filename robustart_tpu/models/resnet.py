@@ -1,0 +1,202 @@
+"""ResNet family: resnet18/34/50/101/152, wide_resnet{50_2,101_2},
+resnext{50_32x4d,101_32x8d}.
+
+Capability parity with the reference model zoo names ``resnetXX_official``,
+``wide_resnet*``, ``resnext*`` (evidence: exprs/robust_baseline_exp/resnet/*/
+config.yaml; SURVEY.md §2.9). Re-designed for TPU: NHWC layout, fused
+conv+BN+ReLU left to XLA, global-batch BN statistics under jit (= SyncBN).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from robustart_tpu.models.layers import (
+    MaxPool2d,
+    conv_kernel_init,
+    global_avg_pool,
+)
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        conv = partial(
+            nn.Conv, use_bias=False, dtype=self.dtype, kernel_init=conv_kernel_init
+        )
+        bn = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )
+        identity = x
+        out = conv(self.filters, (3, 3), strides=(self.stride, self.stride))(x)
+        out = bn(name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.filters, (3, 3))(out)
+        # zero-init gamma on the last BN of each block (torchvision
+        # zero_init_residual is off by default; keep ones for ckpt parity)
+        out = bn(name="bn2")(out)
+        if self.downsample:
+            identity = conv(
+                self.filters, (1, 1), strides=(self.stride, self.stride),
+                name="downsample_conv",
+            )(x)
+            identity = bn(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    filters: int  # base width of the block (expansion 4 applied inside)
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        conv = partial(
+            nn.Conv, use_bias=False, dtype=self.dtype, kernel_init=conv_kernel_init
+        )
+        bn = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = conv(width, (1, 1))(x)
+        out = bn(name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(
+            width,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            feature_group_count=self.groups,
+        )(out)
+        out = bn(name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.filters * self.expansion, (1, 1))(out)
+        out = bn(name="bn3")(out)
+        if self.downsample:
+            identity = conv(
+                self.filters * self.expansion,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                name="downsample_conv",
+            )(x)
+            identity = bn(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Torch-structured ResNet in NHWC."""
+
+    block: Callable[..., nn.Module]
+    stage_sizes: Sequence[int]
+    num_classes: int = 1000
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=conv_kernel_init,
+            name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = MaxPool2d()(x)
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            filters = 64 * (2**stage)
+            for i in range(num_blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                needs_ds = i == 0 and (
+                    stride != 1
+                    or stage == 0
+                    and self.block is Bottleneck  # expansion changes channels
+                )
+                x = self.block(
+                    filters,
+                    stride=stride,
+                    downsample=needs_ds,
+                    groups=self.groups,
+                    base_width=self.base_width,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{i}",
+                )(x, train=train)
+        x = global_avg_pool(x).astype(jnp.float32)
+        x = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
+        return x
+
+
+def _resnet(block, stage_sizes, **kwargs):
+    kwargs.pop("bn", None)  # reference bn{use_sync_bn} — global stats already
+    return ResNet(block=block, stage_sizes=stage_sizes, **kwargs)
+
+
+def resnet18(**kw):
+    return _resnet(BasicBlock, (2, 2, 2, 2), **kw)
+
+
+def resnet34(**kw):
+    return _resnet(BasicBlock, (3, 4, 6, 3), **kw)
+
+
+def resnet50(**kw):
+    return _resnet(Bottleneck, (3, 4, 6, 3), **kw)
+
+
+def resnet101(**kw):
+    return _resnet(Bottleneck, (3, 4, 23, 3), **kw)
+
+
+def resnet152(**kw):
+    return _resnet(Bottleneck, (3, 8, 36, 3), **kw)
+
+
+def wide_resnet50_2(**kw):
+    return _resnet(Bottleneck, (3, 4, 6, 3), base_width=128, **kw)
+
+
+def wide_resnet101_2(**kw):
+    return _resnet(Bottleneck, (3, 4, 23, 3), base_width=128, **kw)
+
+
+def resnext50_32x4d(**kw):
+    return _resnet(Bottleneck, (3, 4, 6, 3), groups=32, base_width=4, **kw)
+
+
+def resnext101_32x8d(**kw):
+    return _resnet(Bottleneck, (3, 4, 23, 3), groups=32, base_width=8, **kw)

@@ -1,0 +1,177 @@
+"""Vision Transformer + DeiT.
+
+Parity names: ``vit_b16_224``, ``vit_b32_224``, ``vit_base`` (alias),
+``deit_{tiny,small,base}_b16_224`` with reference kwargs
+``drop_path/dropout/attention_dropout/qkv_bias`` (reference
+exprs/robust_baseline_exp/vit/*/config.yaml; deit/*/config.yaml).
+
+TPU design notes: tokens per image = 196+1 — attention is tiny (197²), so the
+win is batching: all ops are batched matmuls (MXU-friendly), packed qkv as one
+Dense, and no Python control flow inside the jitted forward.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from robustart_tpu.models.layers import DropPath
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        out_dim = x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = True
+    attention_dropout: float = 0.0
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        # packed qkv: one MXU matmul instead of three
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
+        scale = 1.0 / np.sqrt(head_dim)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attention_dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class EncoderBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = Attention(
+            self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attention_dropout=self.attention_dropout,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="attn",
+        )(y, deterministic=deterministic)
+        x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = MlpBlock(
+            int(x.shape[-1] * self.mlp_ratio),
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        return x + DropPath(self.drop_path)(y, deterministic=deterministic)
+
+
+class VisionTransformer(nn.Module):
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    qkv_bias: bool = True
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        deterministic = not train
+        b = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        x = x.reshape(b, -1, self.embed_dim)
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, x.shape[1], self.embed_dim),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        # stochastic-depth schedule linearly increasing with depth (timm rule)
+        for i in range(self.depth):
+            dp = self.drop_path * i / max(self.depth - 1, 1)
+            x = EncoderBlock(
+                self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                drop_path=dp,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        cls_out = x[:, 0].astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(cls_out)
+
+
+def _vit(patch, dim, depth, heads, **kw):
+    kw.pop("bn", None)
+    return VisionTransformer(
+        patch_size=patch, embed_dim=dim, depth=depth, num_heads=heads, **kw
+    )
+
+
+def vit_b16_224(**kw):
+    return _vit(16, 768, 12, 12, **kw)
+
+
+def vit_b32_224(**kw):
+    return _vit(32, 768, 12, 12, **kw)
+
+
+def deit_tiny_b16_224(**kw):
+    return _vit(16, 192, 12, 3, **kw)
+
+
+def deit_small_b16_224(**kw):
+    return _vit(16, 384, 12, 6, **kw)
+
+
+def deit_base_b16_224(**kw):
+    return _vit(16, 768, 12, 12, **kw)

@@ -1,0 +1,111 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustart_tpu.models import create_classifier, get_model, model_names
+
+
+SMALL_INPUT = 64  # keep CPU tests fast; models are size-agnostic CNNs
+
+
+def _param_count(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+def test_model_names_cover_reference_families():
+    names = model_names()
+    for required in [
+        "resnet18_official",
+        "resnet50_official",
+        "resnet152_official",
+        "wide_resnet50_2",
+        "resnext50_32x4d",
+        "vit_b16_224",
+        "vit_base",
+        "deit_tiny_b16_224",
+        "mixer_b16_224",
+    ]:
+        assert required in names, required
+
+
+@pytest.mark.parametrize(
+    "name,expected_params",
+    [
+        # torchvision reference parameter counts
+        ("resnet18", 11_689_512),
+        ("resnet50", 25_557_032),
+        ("wide_resnet50_2", 68_883_240),
+        ("resnext50_32x4d", 25_028_904),
+    ],
+)
+def test_resnet_param_parity(name, expected_params):
+    clf = create_classifier(name, rng=0, input_size=SMALL_INPUT)
+    assert _param_count(clf.variables) == expected_params
+
+
+def test_vit_param_parity():
+    # timm vit_base_patch16_224: 86_567_656 params
+    clf = create_classifier("vit_b16_224", rng=0, input_size=224)
+    assert _param_count(clf.variables) == 86_567_656
+
+
+def test_mixer_param_parity():
+    # timm mixer_b16_224: 59_880_472 params
+    clf = create_classifier("mixer_b16_224", rng=0, input_size=224)
+    assert _param_count(clf.variables) == 59_880_472
+
+
+def test_resnet_forward_shapes_and_determinism():
+    clf = create_classifier("resnet18", rng=0, input_size=SMALL_INPUT)
+    x = jnp.ones((2, SMALL_INPUT, SMALL_INPUT, 3)) * 0.5
+    logits = clf(x)
+    assert logits.shape == (2, 1000)
+    assert jnp.allclose(logits, clf(x))
+    assert not jnp.any(jnp.isnan(logits))
+
+
+def test_bn_train_mode_updates_stats():
+    clf = create_classifier("resnet18", rng=0, input_size=SMALL_INPUT)
+    x = jax.random.uniform(jax.random.key(1), (4, SMALL_INPUT, SMALL_INPUT, 3))
+    logits, updates = clf.apply_fn(clf.variables, x, train=True)
+    assert logits.shape == (4, 1000)
+    old = clf.variables["batch_stats"]["bn1"]["mean"]
+    new = updates["batch_stats"]["bn1"]["mean"]
+    assert not jnp.allclose(old, new)
+
+
+def test_vit_forward():
+    clf = create_classifier("deit_tiny_b16_224", rng=0, input_size=224)
+    x = jnp.ones((2, 224, 224, 3)) * 0.3
+    logits = clf(x)
+    assert logits.shape == (2, 1000)
+    assert not jnp.any(jnp.isnan(logits))
+
+
+def test_mixer_forward():
+    m = get_model("mixer_b16_224")
+    x = jnp.ones((1, 224, 224, 3))
+    variables = m.init(jax.random.key(0), x, train=False)
+    logits = m.apply(variables, x, train=False)
+    assert logits.shape == (1, 1000)
+
+
+def test_num_classes_kwarg():
+    clf = create_classifier("resnet18", rng=0, input_size=SMALL_INPUT, num_classes=10)
+    x = jnp.ones((1, SMALL_INPUT, SMALL_INPUT, 3))
+    assert clf(x).shape == (1, 10)
+
+
+def test_grad_flows_through_input():
+    # attacks need d(loss)/d(image) through the full model
+    clf = create_classifier("resnet18", rng=0, input_size=SMALL_INPUT)
+    x = jnp.ones((1, SMALL_INPUT, SMALL_INPUT, 3)) * 0.5
+    fn = clf.logits_fn()
+
+    def loss(img):
+        return fn(clf.variables, img).sum()
+
+    g = jax.grad(loss)(x)
+    assert g.shape == x.shape
+    assert float(jnp.abs(g).sum()) > 0
