@@ -1,0 +1,428 @@
+"""On-device image ops: separable resizes as matmuls, blurs, color space.
+
+TPU-native replacements for the reference's host-side C libraries
+(ImageMagick/Wand motion blur, OpenCV filter2D/resize, scipy/skimage
+gaussian+zoom — reference RobustART/noise/utils/imagenet_c/corruptions.py and
+imagenet_s_gen.py:19-34; inventory in SURVEY.md §2.10).
+
+Key design: every separable resample (PIL box/bilinear/hamming/bicubic/
+lanczos/nearest and OpenCV nearest/linear/area/cubic/lanczos4) is expressed as
+two dense matmuls with precomputed weight matrices — ``out = W_h @ img @
+W_w^T`` — which the MXU executes at full tilt and which makes resize kernels
+bit-faithful to each library's filter definition (the decode/resize variation
+*is* the ImageNet-S benchmark signal, imagenet_s_gen.py:19-34). Weight
+matrices are built once per (in_size, out_size, method) on host and cached.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Filter definitions (public formulas of PIL Resample.c / OpenCV resize)
+# ---------------------------------------------------------------------------
+
+
+def _box(x: np.ndarray) -> np.ndarray:
+    return ((x > -0.5) & (x <= 0.5)).astype(np.float64)
+
+
+def _triangle(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.maximum(0.0, 1.0 - x)
+
+
+def _hamming(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    out = np.zeros_like(x)
+    nz = (x > 0) & (x < 1.0)
+    xp = x[nz] * np.pi
+    out[nz] = np.sin(xp) / xp * (0.54 + 0.46 * np.cos(xp))
+    out[x == 0] = 1.0
+    return out
+
+
+def _cubic(a: float) -> Callable[[np.ndarray], np.ndarray]:
+    def f(x: np.ndarray) -> np.ndarray:
+        x = np.abs(x)
+        out = np.zeros_like(x)
+        m1 = x < 1.0
+        m2 = (x >= 1.0) & (x < 2.0)
+        out[m1] = ((a + 2.0) * x[m1] - (a + 3.0)) * x[m1] * x[m1] + 1.0
+        out[m2] = (((x[m2] - 5.0) * x[m2] + 8.0) * x[m2] - 4.0) * a
+        return out
+
+    return f
+
+
+def _sinc(x: np.ndarray) -> np.ndarray:
+    return np.sinc(x)  # np.sinc is sin(pi x)/(pi x)
+
+
+def _lanczos(support: float) -> Callable[[np.ndarray], np.ndarray]:
+    def f(x: np.ndarray) -> np.ndarray:
+        out = _sinc(x) * _sinc(x / support)
+        out[np.abs(x) >= support] = 0.0
+        return out
+
+    return f
+
+
+# (filter fn, support) per method name
+_PIL_FILTERS: dict[str, tuple[Callable, float]] = {
+    "pil-box": (_box, 0.5),
+    "pil-bilinear": (_triangle, 1.0),
+    "pil-hamming": (_hamming, 1.0),
+    "pil-cubic": (_cubic(-0.5), 2.0),
+    "pil-lanczos": (_lanczos(3.0), 3.0),
+}
+_CV_FILTERS: dict[str, tuple[Callable, float]] = {
+    "opencv-bilinear": (_triangle, 1.0),
+    "opencv-cubic": (_cubic(-0.75), 2.0),
+    "opencv-lanczos": (_lanczos(4.0), 4.0),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def resize_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
+    """Dense (out_size, in_size) 1-D resampling matrix for ``method``.
+
+    PIL convention (Pillow Resample.c): center=(i+0.5)*scale, taps at input
+    pixel centers j+0.5, filter arg ((j+0.5)-center)/filterscale, weights
+    normalized. OpenCV convention: src = (i+0.5)*scale - 0.5, taps at integer
+    j, border replication for out-of-range taps.
+    """
+    scale = in_size / out_size
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+
+    if method == "pil-nearest":
+        # Pillow ScaleAffine pretabulates xin by *accumulating* xo += a1 from
+        # xo = a1/2 (Geometry.c) — repeated-addition float error decides the
+        # exact-integer ties, so we replicate the accumulation bit-for-bit.
+        xo = scale / 2.0
+        for i in range(out_size):
+            w[i, min(int(xo), in_size - 1)] = 1.0
+            xo += scale
+        return w.astype(np.float32)
+    if method == "opencv-nearest":
+        for i in range(out_size):
+            j = min(int(np.floor(i * scale)), in_size - 1)
+            w[i, j] = 1.0
+        return w.astype(np.float32)
+    if method == "opencv-area":
+        if scale >= 1.0:
+            # true area averaging over [i*scale, (i+1)*scale)
+            for i in range(out_size):
+                lo, hi = i * scale, (i + 1) * scale
+                j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+                for j in range(j0, min(j1, in_size)):
+                    cover = min(hi, j + 1) - max(lo, j)
+                    if cover > 0:
+                        w[i, j] = cover
+                w[i] /= max(w[i].sum(), 1e-12)
+            return w.astype(np.float32)
+        # upscale: OpenCV INTER_AREA degenerates to a bilinear variant with
+        # sx = floor(dx*scale); fx = (dx+1) - (sx+1)/scale, clamped at 0 and
+        # taken mod 1 (OpenCV resize.cpp INTER_AREA non-integer upscale path)
+        inv_scale = out_size / in_size
+        for i in range(out_size):
+            sx = int(np.floor(i * scale))
+            fx = (i + 1) - (sx + 1) * inv_scale
+            fx = 0.0 if fx <= 0 else fx - np.floor(fx)
+            j0 = min(max(sx, 0), in_size - 1)
+            j1 = min(sx + 1, in_size - 1)
+            w[i, j0] += 1.0 - fx
+            w[i, j1] += fx
+        return w.astype(np.float32)
+
+    if method in _PIL_FILTERS:
+        filt, support = _PIL_FILTERS[method]
+        filterscale = max(scale, 1.0)
+        sup = support * filterscale
+        for i in range(out_size):
+            center = (i + 0.5) * scale
+            jmin = max(int(center - sup + 0.5), 0)
+            jmax = min(int(center + sup + 0.5), in_size)
+            taps = np.arange(jmin, jmax, dtype=np.float64)
+            vals = filt((taps + 0.5 - center) / filterscale)
+            s = vals.sum()
+            if s != 0:
+                vals /= s
+            w[i, jmin:jmax] = vals
+        return w.astype(np.float32)
+
+    if method in _CV_FILTERS:
+        filt, support = _CV_FILTERS[method]
+        filterscale = max(scale, 1.0) if method == "opencv-area" else 1.0
+        # OpenCV does NOT widen the kernel on downscale for linear/cubic/
+        # lanczos (that's why they alias) — filterscale stays 1.
+        sup = support
+        for i in range(out_size):
+            src = (i + 0.5) * scale - 0.5
+            j0 = int(np.floor(src - sup)) + 1
+            j1 = int(np.floor(src + sup)) + 1
+            taps = np.arange(j0, j1, dtype=np.float64)
+            vals = filt(taps - src)
+            s = vals.sum()
+            if s != 0:
+                vals /= s
+            # border replicate out-of-range taps
+            for t, v in zip(taps.astype(int), vals):
+                w[i, min(max(t, 0), in_size - 1)] += v
+        return w.astype(np.float32)
+
+    raise ValueError(f"unknown resize method {method!r}")
+
+
+RESIZE_METHODS = tuple(
+    list(_PIL_FILTERS) + ["pil-nearest"] + list(_CV_FILTERS)
+    + ["opencv-nearest", "opencv-area"]
+)
+
+
+def resize(
+    x: jax.Array, out_hw: tuple[int, int], method: str = "pil-bilinear"
+) -> jax.Array:
+    """Separable resize of (..., H, W, C) via two weight matmuls (MXU)."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    wh = jnp.asarray(resize_matrix(h_in, h_out, method))
+    ww = jnp.asarray(resize_matrix(w_in, w_out, method))
+    x = jnp.einsum("oh,...hwc->...owc", wh, x)
+    x = jnp.einsum("ow,...hwc->...hoc", ww, x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Blurs
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """scipy.ndimage-compatible 1-D gaussian (radius = int(truncate*sigma+0.5))."""
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _sep_conv2d_nearest(x: jax.Array, k: np.ndarray) -> jax.Array:
+    """Separable 2-D convolution with 'nearest' (edge-replicate) padding.
+
+    Matches scipy.ndimage.gaussian_filter(mode='nearest') — the default used
+    by skimage.filters.gaussian in the reference corruptions.
+    """
+    r = (len(k) - 1) // 2
+    kj = jnp.asarray(k)
+    # rows
+    xp = jnp.concatenate(
+        [jnp.repeat(x[..., :1, :, :], r, axis=-3), x,
+         jnp.repeat(x[..., -1:, :, :], r, axis=-3)], axis=-3,
+    )
+    x = sum(kj[i] * jax.lax.dynamic_slice_in_dim(xp, i, x.shape[-3], axis=-3)
+            for i in range(len(k)))
+    # cols
+    xp = jnp.concatenate(
+        [jnp.repeat(x[..., :, :1, :], r, axis=-2), x,
+         jnp.repeat(x[..., :, -1:, :], r, axis=-2)], axis=-2,
+    )
+    x = sum(kj[i] * jax.lax.dynamic_slice_in_dim(xp, i, x.shape[-2], axis=-2)
+            for i in range(len(k)))
+    return x
+
+
+def gaussian_blur(x: jax.Array, sigma: float, truncate: float = 4.0) -> jax.Array:
+    """Gaussian blur of (..., H, W, C), scipy/skimage 'nearest' semantics."""
+    if sigma <= 0:
+        return x
+    return _sep_conv2d_nearest(x, gaussian_kernel_1d(float(sigma), truncate))
+
+
+@functools.lru_cache(maxsize=None)
+def disk_kernel(radius: int, alias_blur: float = 0.1) -> np.ndarray:
+    """Defocus disk kernel, reference formula (corruptions.py:26-37):
+    binary disk normalized then gaussian-smoothed (cv2.GaussianBlur equiv)."""
+    if radius <= 8:
+        coords = np.arange(-8, 8 + 1)
+        ksize = 3
+    else:
+        coords = np.arange(-radius, radius + 1)
+        ksize = 5
+    xg, yg = np.meshgrid(coords, coords)
+    aliased = np.array((xg**2 + yg**2) <= radius**2, dtype=np.float64)
+    aliased /= aliased.sum()
+    # cv2.GaussianBlur(ksize, sigmaX=alias_blur): reflect-101 border
+    half = (ksize - 1) // 2
+    t = np.arange(-half, half + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (t / alias_blur) ** 2)
+    g /= g.sum()
+    pad = np.pad(aliased, half, mode="reflect")
+    tmp = np.zeros_like(aliased)
+    for i, gv in enumerate(g):
+        tmp += gv * pad[i : i + aliased.shape[0], half : half + aliased.shape[1]]
+    out = np.zeros_like(aliased)
+    pad = np.pad(tmp, half, mode="reflect")
+    for i, gv in enumerate(g):
+        out += gv * pad[half : half + aliased.shape[0], i : i + aliased.shape[1]]
+    return out.astype(np.float32)
+
+
+def filter2d_same(x: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """2-D correlation per channel with reflect-101 border (cv2.filter2D)."""
+    kh, kw = kernel.shape
+    rh, rw = (kh - 1) // 2, (kw - 1) // 2
+    xp = jnp.pad(
+        x,
+        [(0, 0)] * (x.ndim - 3) + [(rh, rh), (rw, rw), (0, 0)],
+        mode="reflect",
+    )
+    # express as depthwise conv: move channels to batch for lax.conv
+    lead = xp.shape[:-3]
+    c = xp.shape[-1]
+    flat = xp.reshape((-1,) + xp.shape[-3:])
+    flat = jnp.moveaxis(flat, -1, 1).reshape(-1, 1, xp.shape[-3], xp.shape[-2])
+    k = jnp.asarray(kernel, flat.dtype).reshape(1, 1, kh, kw)
+    out = jax.lax.conv_general_dilated(
+        flat, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = out.reshape((-1, c) + out.shape[-2:])
+    out = jnp.moveaxis(out, 1, -1)
+    return out.reshape(lead + out.shape[-3:])
+
+
+@functools.lru_cache(maxsize=None)
+def motion_blur_offsets(radius: float, sigma: float, angle_deg: float):
+    """ImageMagick MotionBlurImage kernel: gaussian-weighted taps marching
+    along a line at ``angle``. Width per GetOptimalKernelWidth1D; taps at
+    integer steps (i*cos, -i*sin) trailing from the pixel
+    (reference corruptions.py:42-51 drives this C call via ctypes)."""
+    # GetOptimalKernelWidth1D: smallest odd width where the tail is negligible
+    if sigma <= 0:
+        width = int(2 * math.ceil(radius) + 1)
+    else:
+        alpha = 1.0 / (2.0 * sigma * sigma)
+        beta = 1.0 / (math.sqrt(2 * math.pi) * sigma)
+        width = 5
+        while True:
+            value = beta * math.exp(-alpha * ((width - 1) / 2.0) ** 2)
+            if value < 1e-6:  # MagickEpsilon-scale cutoff
+                break
+            width += 2
+            if width > 255:
+                break
+    n = (width + 1) // 2 if radius <= 0 else int(radius) + 1
+    n = max(n, 3)
+    i = np.arange(n, dtype=np.float64)
+    if sigma > 0:
+        w = np.exp(-0.5 * (i / sigma) ** 2)
+    else:
+        w = np.ones_like(i)
+    w /= w.sum()
+    theta = math.radians(angle_deg)
+    dx = np.round(i * math.cos(theta)).astype(np.int32)
+    dy = np.round(i * math.sin(theta)).astype(np.int32)
+    return dx, dy, w.astype(np.float32)
+
+
+def motion_blur(x: jax.Array, radius: float, sigma: float, angle_deg: float) -> jax.Array:
+    """Directional blur along ``angle`` with gaussian tap weights.
+
+    Edge handling: clamp (replicate), matching ImageMagick's edge virtual
+    pixel behavior closely enough for distributional parity.
+    """
+    dx, dy, w = motion_blur_offsets(float(radius), float(sigma), float(angle_deg))
+    h, wdt = x.shape[-3], x.shape[-2]
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(wdt)[None, :]
+    out = jnp.zeros_like(x)
+    for ddx, ddy, wv in zip(dx, dy, w):
+        r = jnp.clip(rows + ddy, 0, h - 1)
+        c = jnp.clip(cols + ddx, 0, wdt - 1)
+        out = out + wv * x[..., r, c, :]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Color space (matching skimage rgb2hsv/hsv2rgb formulas)
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_hsv(x: jax.Array) -> jax.Array:
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta == 0, 0.0, (h / 6.0) % 1.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(x: jax.Array) -> jax.Array:
+    h, s, v = x[..., 0], x[..., 1], x[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def rgb_to_gray(x: jax.Array) -> jax.Array:
+    """cv2.cvtColor RGB2GRAY weights (used by snow, corruptions.py:308)."""
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.tensordot(x, w, axes=[[-1], [0]])
+
+
+# ---------------------------------------------------------------------------
+# Geometric
+# ---------------------------------------------------------------------------
+
+
+def map_coordinates_bilinear_reflect(img: jax.Array, coords_y: jax.Array,
+                                     coords_x: jax.Array) -> jax.Array:
+    """Bilinear sampling at float coords with scipy 'reflect' boundary.
+
+    Equivalent to scipy map_coordinates(order=1, mode='reflect') used by
+    elastic_transform (reference corruptions.py:424). img: (H, W, C);
+    coords: (H, W).
+    """
+    h, w = img.shape[0], img.shape[1]
+
+    def reflect(idx, n):
+        # scipy 'reflect': (d c b a | a b c d | d c b a)
+        period = 2 * n
+        idx = jnp.mod(idx, period)
+        return jnp.where(idx >= n, period - 1 - idx, idx)
+
+    y0 = jnp.floor(coords_y)
+    x0 = jnp.floor(coords_x)
+    fy = (coords_y - y0)[..., None]
+    fx = (coords_x - x0)[..., None]
+    y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
+
+    def at(yy, xx):
+        return img[reflect(yy, h), reflect(xx, w)]
+
+    top = at(y0i, x0i) * (1 - fx) + at(y0i, x0i + 1) * fx
+    bot = at(y0i + 1, x0i) * (1 - fx) + at(y0i + 1, x0i + 1) * fx
+    return top * (1 - fy) + bot * fy
