@@ -1,0 +1,144 @@
+"""Corruption kernel tests: API parity, formula parity, invariants.
+
+Reference formulas: RobustART/noise/utils/imagenet_c/corruptions.py. Exact
+numeric checks where the corruption is deterministic; invariant +
+severity-monotonicity checks where it is RNG-dependent (SURVEY.md §7).
+"""
+
+import io
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from robustart_tpu.noise.corruptions import (
+    CORRUPTION_ORDER,
+    corrupt,
+    corrupt_batch,
+    corruption_dict,
+    corruption_tuple,
+)
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def img_u8():
+    rng = np.random.default_rng(3)
+    # smooth-ish natural-image stand-in (noise corruptions need structure)
+    base = rng.uniform(40, 215, size=(8, 8, 3))
+    img = np.asarray(
+        Image.fromarray(base.astype(np.uint8)).resize((SIZE, SIZE), Image.BILINEAR)
+    )
+    return img.astype(np.uint8)
+
+
+def test_reference_order_and_registry():
+    assert len(corruption_tuple) == 19
+    assert CORRUPTION_ORDER[14] == "jpeg_compression"
+    assert CORRUPTION_ORDER[:15] == (
+        "gaussian_noise", "shot_noise", "impulse_noise", "defocus_blur",
+        "glass_blur", "motion_blur", "zoom_blur", "snow", "frost", "fog",
+        "brightness", "contrast", "elastic_transform", "pixelate",
+        "jpeg_compression",
+    )
+    assert set(corruption_dict) == set(CORRUPTION_ORDER)
+
+
+def test_corrupt_requires_name_or_number(img_u8):
+    with pytest.raises(ValueError):
+        corrupt(img_u8)
+
+
+@pytest.mark.parametrize("name", CORRUPTION_ORDER)
+def test_all_corruptions_run_and_change_image(img_u8, name):
+    out = corrupt(img_u8, severity=3, corruption_name=name, seed=0)
+    assert out.shape == img_u8.shape
+    assert out.dtype == np.uint8
+    assert np.mean(np.abs(out.astype(int) - img_u8.astype(int))) > 0.5
+
+
+def test_corruption_number_dispatch(img_u8):
+    by_num = corrupt(img_u8, severity=2, corruption_number=11, seed=5)
+    by_name = corrupt(img_u8, severity=2, corruption_name="contrast", seed=5)
+    np.testing.assert_array_equal(by_num, by_name)
+
+
+def test_contrast_exact_formula(img_u8):
+    c = 0.3  # severity 2
+    x = img_u8.astype(np.float64) / 255.0
+    means = x.mean(axis=(0, 1), keepdims=True)
+    ref = np.clip((x - means) * c + means, 0, 1) * 255
+    ours = corrupt(img_u8, severity=2, corruption_name="contrast", seed=0)
+    np.testing.assert_allclose(ours, np.uint8(ref), atol=1)
+
+
+def test_pixelate_matches_pil(img_u8):
+    c = 0.4  # severity 3
+    im = Image.fromarray(img_u8)
+    down = im.resize((int(SIZE * c), int(SIZE * c)), Image.BOX)
+    ref = np.asarray(down.resize((SIZE, SIZE), Image.BOX), dtype=np.uint8)
+    ours = corrupt(img_u8, severity=3, corruption_name="pixelate", seed=0)
+    # PIL rounds fixed-point; we floor through the uint8 grid -> ±1 tolerance
+    assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 0.75
+    assert np.max(np.abs(ours.astype(int) - ref.astype(int))) <= 2
+
+
+def test_jpeg_matches_pil_roundtrip(img_u8):
+    buf = io.BytesIO()
+    Image.fromarray(img_u8).save(buf, "JPEG", quality=15)
+    ref = np.asarray(Image.open(buf))
+    ours = corrupt(img_u8, severity=3, corruption_name="jpeg_compression")
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_gaussian_noise_statistics(img_u8):
+    # severity 5: sigma = 0.38; measure achieved noise std before clipping
+    outs = corrupt(img_u8, severity=5, corruption_name="gaussian_noise", seed=1)
+    diff = outs.astype(np.float64) / 255 - img_u8.astype(np.float64) / 255
+    # clipping shrinks the std; just require it lands in a plausible band
+    assert 0.15 < diff.std() < 0.38
+
+
+@pytest.mark.parametrize("name", ["gaussian_noise", "shot_noise", "impulse_noise",
+                                  "speckle_noise", "contrast"])
+def test_severity_monotonicity(img_u8, name):
+    deltas = []
+    for sev in (1, 3, 5):
+        out = corrupt(img_u8, severity=sev, corruption_name=name, seed=9)
+        deltas.append(np.mean(np.abs(out.astype(int) - img_u8.astype(int))))
+    assert deltas[0] < deltas[1] < deltas[2], (name, deltas)
+
+
+def test_corrupt_batch_on_device(img_u8):
+    x = np.stack([img_u8] * 4).astype(np.float32) / 255.0
+    key = jax.random.key(0)
+    out = corrupt_batch(x, key, "gaussian_noise", 2)
+    assert out.shape == x.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # per-image keys: batch entries get different noise
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_corrupt_batch_deterministic(img_u8):
+    x = np.stack([img_u8] * 2).astype(np.float32) / 255.0
+    a = corrupt_batch(x, jax.random.key(5), "impulse_noise", 3)
+    b = corrupt_batch(x, jax.random.key(5), "impulse_noise", 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fog_compresses_contrast(img_u8):
+    # fog formula: (x + c*fractal) * max/(max+c) — squeezes dynamic range
+    out = corrupt(img_u8, severity=5, corruption_name="fog", seed=2)
+    assert out.astype(np.float64).std() < img_u8.astype(np.float64).std()
+    # dark pixels get lifted relative to their original values
+    dark = img_u8.astype(np.float64) < 40
+    if dark.any():
+        assert out.astype(np.float64)[dark].mean() > img_u8[dark].mean()
+
+
+def test_pil_image_input(img_u8):
+    out = corrupt(Image.fromarray(img_u8), severity=1,
+                  corruption_name="brightness", seed=0)
+    assert out.shape == img_u8.shape and out.dtype == np.uint8
