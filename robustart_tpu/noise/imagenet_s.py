@@ -1,0 +1,269 @@
+"""ImageNet-S system noise: decoder × resize implementation variation.
+
+Re-implements the reference's ``ImageTransfer``
+(reference RobustART/noise/utils/imagenet_s_gen.py:38-263): the *benchmark
+signal* is the numeric difference between image decoders {pil, opencv,
+ffmpeg} and resize implementations {6 PIL + 5 OpenCV modes}
+(imagenet_s_gen.py:19-34), so decode and resize run host-side and bit-exact
+through the real libraries. The memcached reader (imagenet_s_gen.py:266-279)
+is replaced by local-filesystem reads; ffmpeg decode shells out to the
+``ffmpeg`` binary when present (the python module is not installed here) and
+raises a clear error otherwise.
+
+Transforms (imagenet_s_gen.py:106-148):
+- val:   resize to (size*8/7) with the chosen mode, center crop `size`
+- train: torchvision-style RandomResizedCrop params, then resize
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import os
+import os.path as osp
+import random
+import shutil
+import subprocess
+from typing import Sequence
+
+import cv2
+import numpy as np
+from PIL import Image
+
+pil_resize_mode_dict = {
+    "pil-bilinear": Image.BILINEAR,
+    "pil-nearest": Image.NEAREST,
+    "pil-box": Image.BOX,
+    "pil-hamming": Image.HAMMING,
+    "pil-cubic": Image.BICUBIC,
+    "pil-lanczos": Image.LANCZOS,
+}
+
+cv_resize_mode_dict = {
+    "opencv-nearest": cv2.INTER_NEAREST,
+    "opencv-bilinear": cv2.INTER_LINEAR,
+    "opencv-area": cv2.INTER_AREA,
+    "opencv-cubic": cv2.INTER_CUBIC,
+    "opencv-lanczos": cv2.INTER_LANCZOS4,
+}
+
+DECODER_TYPES = ("pil", "opencv", "ffmpeg")
+RESIZE_TYPES = tuple(pil_resize_mode_dict) + tuple(cv_resize_mode_dict)
+
+
+def decode_image(
+    filebytes: np.ndarray | bytes,
+    decoder_type: str = "pil",
+    color_mode: str = "RGB",
+    filepath: str | None = None,
+) -> np.ndarray:
+    """Decode image bytes with the chosen backend (HWC uint8, RGB)."""
+    if isinstance(filebytes, bytes):
+        filebytes = np.frombuffer(filebytes, dtype=np.uint8)
+    if decoder_type == "pil":
+        with Image.open(io.BytesIO(filebytes.tobytes())) as img:
+            img = img.convert("RGB")
+            if color_mode == "BGR":
+                r, g, b = img.split()
+                img = Image.merge("RGB", (b, g, r))
+            elif color_mode == "GRAY":
+                img = img.convert("L")
+            return np.array(img)
+    if decoder_type == "opencv":
+        img = cv2.imdecode(filebytes, cv2.IMREAD_COLOR)
+        if color_mode == "RGB":
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        elif color_mode == "GRAY":
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        return img
+    if decoder_type == "ffmpeg":
+        if filepath is None:
+            raise ValueError("ffmpeg decode needs a file path")
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError(
+                "ffmpeg binary not available; install ffmpeg or use "
+                "decoder_type in {'pil', 'opencv'}"
+            )
+        # probe dimensions via cv2, decode raw rgb24 via the ffmpeg CLI
+        probe = cv2.imdecode(filebytes, cv2.IMREAD_COLOR)
+        height, width = probe.shape[0], probe.shape[1]
+        out = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", filepath, "-f", "rawvideo",
+             "-pix_fmt", "rgb24", "pipe:"],
+            capture_output=True,
+            check=True,
+        ).stdout
+        return np.frombuffer(out, np.uint8).reshape([height, width, 3])
+    raise NotImplementedError(f"decoder_type {decoder_type!r}")
+
+
+def random_resized_crop_params(
+    shape_hw: tuple[int, int],
+    scale: tuple[float, float] = (0.08, 1.0),
+    ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    rng: random.Random | None = None,
+) -> tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop.get_params (imagenet_s_gen.py:222-263)."""
+    r = rng or random
+    height, width = shape_hw
+    area = height * width
+    for _ in range(10):
+        target_area = r.uniform(*scale) * area
+        log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+        aspect = math.exp(r.uniform(*log_ratio))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            i = r.randint(0, height - h)
+            j = r.randint(0, width - w)
+            return i, j, h, w
+    in_ratio = float(width) / float(height)
+    if in_ratio < min(ratio):
+        w = width
+        h = int(round(w / min(ratio)))
+    elif in_ratio > max(ratio):
+        h = height
+        w = int(round(h * max(ratio)))
+    else:
+        w = width
+        h = height
+    return (height - h) // 2, (width - w) // 2, h, w
+
+
+def _pil_resize(img: Image.Image, size, interpolation) -> Image.Image:
+    if isinstance(size, int):
+        w, h = img.size
+        if (w <= h and w == size) or (h <= w and h == size):
+            return img
+        if w < h:
+            return img.resize((size, int(size * h / w)), interpolation)
+        return img.resize((int(size * w / h), size), interpolation)
+    return img.resize(size[::-1], interpolation)
+
+
+class ImageTransfer:
+    """Decode + resize an image with a chosen (decoder, resize) combo.
+
+    Reference API (imagenet_s_gen.py:38): ``return_online=True`` + ``file_path``
+    processes one image via ``getimage()``; offline mode iterates a meta file
+    ("path label" lines) and writes per-image ``.npy`` plus a new meta file.
+    """
+
+    def __init__(
+        self,
+        root_dir: str | None = None,
+        meta_file: str | None = None,
+        save_root: str | None = None,
+        decoder_type: str = "pil",
+        resize_type: str = "pil-bilinear",
+        resize: int | tuple[int, int] = 224,
+        transform_type: str = "val",
+        return_online: bool = False,
+        file_path: str | None = None,
+        seed: int | None = None,
+    ):
+        assert decoder_type in DECODER_TYPES, decoder_type
+        assert resize_type in RESIZE_TYPES, resize_type
+        self.root_dir = root_dir
+        self.meta_file = meta_file
+        self.save_root = save_root
+        self.decoder_type = decoder_type
+        self.resize_type = resize_type
+        self.transform_type = transform_type
+        self.return_online = return_online
+        self.file_path = file_path
+        self.resize = resize if isinstance(resize, tuple) else (resize, resize)
+        self.color_mode = "RGB"
+        self._rng = random.Random(seed) if seed is not None else random
+
+        if not return_online:
+            self._run_offline()
+
+    # -- offline dataset builder (imagenet_s_gen.py:56-79) --
+    def _run_offline(self) -> None:
+        with open(self.meta_file) as f:
+            lines = f.readlines()
+        metas = []
+        for line in lines:
+            filename, label = line.rstrip().split()
+            metas.append({"filename": filename, "label": label})
+        save_dir = osp.join(self.save_root, self.decoder_type, self.resize_type)
+        os.makedirs(save_dir, exist_ok=True)
+        new_meta_name = osp.join(
+            self.save_root, f"{self.decoder_type}_{self.resize_type}.txt"
+        )
+        with open(new_meta_name, "w") as new_meta:
+            for meta in metas:
+                np_image = self._process(osp.join(self.root_dir, meta["filename"]))
+                save_name = meta["filename"].replace(os.sep, "_") + ".npy"
+                np.save(osp.join(save_dir, save_name), np_image)
+                rel = osp.join(self.decoder_type, self.resize_type, save_name)
+                new_meta.write(f"{rel} {meta['label']}\n")
+
+    # -- online single image (imagenet_s_gen.py:86-103) --
+    def getimage(self) -> np.ndarray:
+        assert self.return_online, "construct with return_online=True"
+        return self._process(self.file_path)
+
+    def _process(self, path: str) -> np.ndarray:
+        with open(path, "rb") as f:
+            filebytes = np.frombuffer(f.read(), dtype=np.uint8)
+        img = decode_image(filebytes, self.decoder_type, self.color_mode, path)
+        i, j, h, w = random_resized_crop_params(
+            img.shape[:2],
+            rng=self._rng if self._rng is not random else None,
+        )
+        return self._resize(img, i, j, h, w)
+
+    def _resize(self, img: np.ndarray, i: int, j: int, h: int, w: int) -> np.ndarray:
+        th, tw = self.resize
+        if self.transform_type == "train":
+            if self.resize_type.startswith("pil"):
+                pimg = Image.fromarray(img).crop((j, i, j + w, i + h))
+                out = _pil_resize(
+                    pimg, self.resize, pil_resize_mode_dict[self.resize_type]
+                )
+                return np.asarray(out)
+            crop = img[i : i + h, j : j + w]
+            return cv2.resize(
+                crop, self.resize, interpolation=cv_resize_mode_dict[self.resize_type]
+            )
+        if self.transform_type == "val":
+            if self.resize_type.startswith("pil"):
+                first = tuple(int(s * 8 / 7) for s in self.resize)
+                pimg = _pil_resize(
+                    Image.fromarray(img), first,
+                    pil_resize_mode_dict[self.resize_type],
+                )
+                ww, hh = pimg.size
+                ii = int(round((hh - th) / 2.0))
+                jj = int(round((ww - tw) / 2.0))
+                return np.asarray(pimg.crop((jj, ii, jj + tw, ii + th)))
+            width, height = tuple(int(s * 8 / 7) for s in self.resize)
+            out = cv2.resize(
+                img, (width, height),
+                interpolation=cv_resize_mode_dict[self.resize_type],
+            )
+            hh, ww = out.shape[0], out.shape[1]
+            dy = int(round((hh - th) / 2.0))
+            dx = int(round((ww - tw) / 2.0))
+            return out[dy : dy + th, dx : dx + tw]
+        raise NotImplementedError(f"transform_type {self.transform_type!r}")
+
+
+def add_noise_for_imagenet_s(
+    image: str,
+    decoder_type: str = "pil",
+    resize_type: str = "pil-bilinear",
+    transform_type: str = "val",
+) -> np.ndarray:
+    """Facade entry (reference add_noise_utils.py:34-38): file path in,
+    decoded+resized array out."""
+    assert isinstance(image, str), "Input of imagenet-S can only be file path"
+    return ImageTransfer(
+        file_path=image,
+        decoder_type=decoder_type,
+        resize_type=resize_type,
+        transform_type=transform_type,
+        return_online=True,
+    ).getimage()
