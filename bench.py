@@ -1,0 +1,79 @@
+"""Headline benchmark: ImageNet-C eval throughput, ResNet-50, one TPU chip.
+
+Measures the full on-device ImageNet-C evaluation pipeline — batched
+corruption synthesis (gaussian_noise, the ImageNet-C flagship) + uint8
+quantization + ResNet-50 forward at 224² in bfloat16 — i.e. what
+``multi_eval_solver`` does per batch in online mode (BASELINE.json config #2,
+north-star ≥5× reference A100 images/sec).
+
+``vs_baseline`` uses 2500 img/s as the reference point: an A100 running the
+reference's eval loop (torch fp16 ResNet-50 inference with DALI decode,
+corruptions precomputed on disk — the reference cannot synthesize corruptions
+at eval speed at all; its PIL loop runs ~50-100 img/s, add_noise_utils.py:
+22-31, so on-the-fly corruption is counted at the precomputed-dataset rate to
+be conservative).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_A100_IMG_PER_SEC = 2500.0
+BATCH = 256
+ITERS = 20
+WARMUP = 3
+
+
+def main() -> None:
+    from robustart_tpu.models import create_classifier
+    from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
+
+    clf = create_classifier(
+        "resnet50_official", rng=0, input_size=224, dtype=jnp.bfloat16
+    )
+    variables = clf.variables
+    corrupt = CORRUPTIONS["gaussian_noise"]
+
+    @jax.jit
+    def step(variables, images_u8, key):
+        x01 = images_u8.astype(jnp.float32) / 255.0
+        keys = jax.random.split(key, x01.shape[0])
+        corrupted = jax.vmap(lambda img, k: corrupt(img, k, 3))(x01, keys)
+        # quantize through uint8 like the stored ImageNet-C datasets
+        q = jnp.floor(jnp.clip(corrupted, 0.0, 1.0) * 255.0) / 255.0
+        return clf.apply_fn(variables, q, train=False)
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(BATCH, 224, 224, 3), dtype=np.uint8)
+    images = jax.device_put(images)
+    key = jax.random.key(0)
+
+    for i in range(WARMUP):
+        step(variables, images, jax.random.fold_in(key, i)).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = step(variables, images, jax.random.fold_in(key, 100 + i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "imagenet_c_eval_images_per_sec_per_chip_resnet50",
+                "value": round(img_per_sec, 1),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_sec / REFERENCE_A100_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -44,17 +44,18 @@ class BasicBlock(nn.Module):
             dtype=self.dtype,
         )
         identity = x
-        out = conv(self.filters, (3, 3), strides=(self.stride, self.stride))(x)
+        out = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                   padding=[(1, 1), (1, 1)])(x)
         out = bn(name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.filters, (3, 3))(out)
+        out = conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)])(out)
         # zero-init gamma on the last BN of each block (torchvision
         # zero_init_residual is off by default; keep ones for ckpt parity)
         out = bn(name="bn2")(out)
         if self.downsample:
             identity = conv(
                 self.filters, (1, 1), strides=(self.stride, self.stride),
-                name="downsample_conv",
+                padding="VALID", name="downsample_conv",
             )(x)
             identity = bn(name="downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -83,24 +84,26 @@ class Bottleneck(nn.Module):
         )
         width = int(self.filters * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = conv(width, (1, 1))(x)
+        out = conv(width, (1, 1), padding='VALID')(x)
         out = bn(name="bn1")(out)
         out = nn.relu(out)
         out = conv(
             width,
             (3, 3),
             strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
             feature_group_count=self.groups,
         )(out)
         out = bn(name="bn2")(out)
         out = nn.relu(out)
-        out = conv(self.filters * self.expansion, (1, 1))(out)
+        out = conv(self.filters * self.expansion, (1, 1), padding='VALID')(out)
         out = bn(name="bn3")(out)
         if self.downsample:
             identity = conv(
                 self.filters * self.expansion,
                 (1, 1),
                 strides=(self.stride, self.stride),
+                padding="VALID",
                 name="downsample_conv",
             )(x)
             identity = bn(name="downsample_bn")(identity)

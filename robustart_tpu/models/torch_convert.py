@@ -1,0 +1,192 @@
+"""PyTorch checkpoint → Flax variables conversion.
+
+The reference zoo loads torch ``.pth`` checkpoints with multi-layout
+tolerance — dicts keyed ``state_dict`` / ``model`` / ``net`` or raw, with
+optional ``module.`` prefixes (reference cifar10/code/test_cifar_c.py:169-187,
+test_mul_adversarial.py:257-261). This module reproduces that tolerance and
+maps tensors into the Flax module trees of robustart_tpu.models:
+
+- conv weights OIHW → HWIO,
+- linear weights (out, in) → (in, out),
+- BN weight/bias/running_mean/running_var → scale/bias/mean/var,
+- packed qkv kept packed (attention reshape order matches torch's).
+
+Name translation is rule-based per family (ResNet, ViT/DeiT, MLP-Mixer,
+and CNN families that follow torch naming).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+from robustart_tpu.core.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def read_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a torch checkpoint tolerating the reference's layout zoo."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model", "net"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+            break
+    if not isinstance(obj, dict):
+        raise ValueError(f"unrecognized checkpoint layout in {path}")
+    out = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+# -- flax tree <-> flat names -------------------------------------------------
+
+
+def flatten(tree: Any, prefix: str = "") -> dict[str, Any]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten(v, f"{prefix}{k}/"))
+        return out
+    out[prefix.rstrip("/")] = tree
+    return out
+
+
+def unflatten(flat: dict[str, Any]) -> dict:
+    root: dict = {}
+    for name, value in flat.items():
+        parts = name.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return root
+
+
+# -- name translation rules ---------------------------------------------------
+
+# Each rule: flax regex -> torch format string (groups reused positionally).
+
+
+def _resnet_torch_name(flax_name: str) -> str | None:
+    """Map a flax ResNet param path to the torchvision key (sans suffix)."""
+    n = flax_name
+    n = re.sub(r"^layer(\d)_(\d+)/", r"layer\1.\2.", n)
+    n = n.replace("downsample_conv", "downsample.0")
+    n = n.replace("downsample_bn", "downsample.1")
+    # unnamed convs inside blocks: Conv_0/1/2 -> conv1/2/3
+    n = re.sub(r"Conv_(\d)", lambda m: f"conv{int(m.group(1)) + 1}", n)
+    n = n.replace("/", ".")
+    return n
+
+
+def _vit_torch_name(flax_name: str) -> str | None:
+    n = flax_name
+    n = re.sub(r"^block(\d+)/", r"blocks.\1.", n)
+    n = n.replace("patch_embed", "patch_embed.proj")
+    n = n.replace("mlp/fc", "mlp.fc")
+    n = n.replace("/", ".")
+    return n
+
+
+def _mixer_torch_name(flax_name: str) -> str | None:
+    n = flax_name
+    n = re.sub(r"^block(\d+)/", r"blocks.\1.", n)
+    n = n.replace("stem", "stem.proj")
+    n = n.replace("mlp_tokens/fc", "mlp_tokens.fc")
+    n = n.replace("mlp_channels/fc", "mlp_channels.fc")
+    n = n.replace("/", ".")
+    return n
+
+
+_FAMILY_RULES = {
+    "ResNet": _resnet_torch_name,
+    "VisionTransformer": _vit_torch_name,
+    "MlpMixer": _mixer_torch_name,
+}
+
+_SUFFIX_MAP = {
+    "kernel": "weight",
+    "scale": "weight",
+    "bias": "bias",
+    "mean": "running_mean",
+    "var": "running_var",
+    "cls_token": "cls_token",
+    "pos_embed": "pos_embed",
+}
+
+
+def _convert_tensor(flax_name: str, torch_value: np.ndarray, target_shape):
+    v = torch_value
+    if v.ndim == 4 and flax_name.endswith("kernel"):
+        v = np.transpose(v, (2, 3, 1, 0))  # OIHW -> HWIO
+    elif v.ndim == 2 and flax_name.endswith("kernel"):
+        v = v.T
+    if tuple(v.shape) != tuple(target_shape):
+        if v.size == int(np.prod(target_shape)):
+            v = v.reshape(target_shape)
+        else:
+            return None
+    return v
+
+
+def convert_state_dict(
+    state_dict: dict[str, np.ndarray], variables: Any, family: str
+) -> tuple[Any, list[str]]:
+    """Convert a torch state dict into the flax ``variables`` structure.
+
+    Returns (new_variables, missing_names). Tensors absent or shape-
+    incompatible keep their initialized values and are reported.
+    """
+    rule = _FAMILY_RULES[family]
+    flat = flatten(variables)
+    out = {}
+    missing = []
+    for name, value in flat.items():
+        collection, _, param_path = name.partition("/")
+        leaf = param_path.rsplit("/", 1)[-1]
+        base = param_path.rsplit("/", 1)[0] if "/" in param_path else ""
+        if leaf in ("cls_token", "pos_embed"):
+            torch_key = leaf
+        else:
+            suffix = _SUFFIX_MAP.get(leaf)
+            torch_base = rule(base) if base else ""
+            torch_key = f"{torch_base}.{suffix}" if torch_base else suffix
+        src = state_dict.get(torch_key)
+        conv = _convert_tensor(name, src, np.shape(value)) if src is not None else None
+        if conv is None:
+            missing.append(f"{name} <- {torch_key}")
+            out[name] = value
+        else:
+            out[name] = np.asarray(conv, dtype=np.asarray(value).dtype)
+    return unflatten(out), missing
+
+
+def detect_family(module) -> str:
+    cls = type(module).__name__
+    if cls in _FAMILY_RULES:
+        return cls
+    raise ValueError(f"no torch-conversion rules for module family {cls!r}")
+
+
+def load_torch_checkpoint(path: str, classifier) -> Any:
+    """Load + convert a torch checkpoint for a Classifier; returns variables."""
+    state_dict = read_torch_state_dict(path)
+    family = detect_family(classifier.module)
+    variables, missing = convert_state_dict(
+        state_dict, classifier.variables, family
+    )
+    if missing:
+        logger.warning(
+            "torch ckpt %s: %d tensors not converted (first: %s)",
+            path, len(missing), missing[:3],
+        )
+    return variables

@@ -1,0 +1,301 @@
+"""Shared solver runtime: model building, checkpoints, result files, eval loop.
+
+This is the TPU-native equivalent of the reference's ``prototype`` solver
+runtime (the missing submodule whose API is reconstructed in SURVEY.md §2.9).
+Key properties kept from the reference design:
+
+- per-sample JSON-lines result files (``results.txt.all``) as the durable
+  interface to the metric layer (SURVEY.md §1);
+- rank-sharded result writing merged by rank 0 over the filesystem
+  (SURVEY.md §5.8);
+- ``saver.pretrain{path, ignore{key, model}}`` warm-start semantics
+  (reference resnet50/config.yaml:69-79);
+- idempotent-by-filesystem recovery: completed result files are skipped
+  (reference batch_eval_adv_transfer_auto_arch.sh:22-34).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import re
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from robustart_tpu.core.config import Config, load_config
+from robustart_tpu.core.dist import (
+    DistContext,
+    batch_sharding,
+    get_mesh,
+    init_distributed,
+    replicated,
+)
+from robustart_tpu.core.logging import get_logger
+from robustart_tpu.models import create_classifier, model_meta
+
+logger = get_logger("robustart.solver")
+
+
+# ---------------------------------------------------------------------------
+# checkpoints (flax msgpack; torch-checkpoint conversion lives in
+# models/torch_convert.py and is dispatched here by file extension)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, variables: Any, extra: dict | None = None) -> None:
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    payload = {"variables": variables, "extra": extra or {}}
+    # to_state_dict turns optax namedtuples/pytrees into plain dicts so the
+    # payload is msgpack-serializable; None leaves are dropped by pruning
+    payload = serialization.to_state_dict(payload)
+
+    def prune(tree):
+        if isinstance(tree, dict):
+            return {k: prune(v) for k, v in tree.items() if v is not None}
+        return np.asarray(tree)
+
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(prune(payload)))
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _tree_flatten_with_names(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_tree_flatten_with_names(v, f"{prefix}{k}." if prefix or k else k))
+        return out
+    out[prefix.rstrip(".")] = tree
+    return out
+
+
+def apply_pretrain(
+    variables: Any,
+    ckpt_variables: Any,
+    ignore_keys: Iterable[str] = (),
+    ignore_model: Iterable[str] = (),
+) -> Any:
+    """Warm-start with ``saver.pretrain.ignore`` semantics: per-tensor skip
+    patterns (``ignore.model``, e.g. the fc head on class-count changes) and
+    shape-mismatch tolerance (reference resnet50/config.yaml:69-79)."""
+    flat_new = _tree_flatten_with_names(variables)
+    flat_ckpt = _tree_flatten_with_names(ckpt_variables)
+    patterns = [re.compile(p) for p in ignore_model]
+    merged = {}
+    n_loaded = 0
+    for name, value in flat_new.items():
+        src = flat_ckpt.get(name)
+        skip = any(p.search(name) for p in patterns)
+        if src is not None and not skip and np.shape(src) == np.shape(value):
+            merged[name] = jnp.asarray(src)
+            n_loaded += 1
+        else:
+            if src is not None and not skip:
+                logger.warning("pretrain: shape mismatch for %s, keeping init", name)
+            merged[name] = value
+    logger.info("pretrain: loaded %d/%d tensors", n_loaded, len(flat_new))
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}{k}.") for k, v in tree.items()}
+        return merged[prefix.rstrip(".")]
+
+    return rebuild(variables)
+
+
+def load_pretrain_into(classifier, saver_cfg) -> None:
+    """Load ``saver.pretrain.path`` (flax msgpack or torch .pth) in place."""
+    pretrain = (saver_cfg or {}).get("pretrain") or {}
+    path = pretrain.get("path")
+    if not path:
+        return
+    ignore = pretrain.get("ignore") or {}
+    if path.endswith((".pth", ".pth.tar", ".pt", ".bin")):
+        from robustart_tpu.models.torch_convert import load_torch_checkpoint
+
+        ckpt_vars = load_torch_checkpoint(path, classifier)
+    else:
+        ckpt_vars = load_checkpoint(path)["variables"]
+    classifier.variables = apply_pretrain(
+        classifier.variables,
+        ckpt_vars,
+        ignore_keys=ignore.get("key", []) or [],
+        ignore_model=ignore.get("model", []) or [],
+    )
+
+
+# ---------------------------------------------------------------------------
+# result files
+# ---------------------------------------------------------------------------
+
+
+class ResultWriter:
+    """Rank-sharded JSON-lines result writer with rank-0 merge.
+
+    Writes ``<path>.rank<k>`` shards; ``merge()`` on rank 0 concatenates them
+    into the final file (ordering across ranks follows the interleaved
+    ``distributed`` sampler so the merge re-interleaves by sample index when
+    provided). Produces the exact protocol the evaluators consume
+    (reference imagenetc_evaluator.py:35-49).
+    """
+
+    def __init__(self, path: str, rank: int = 0, world_size: int = 1):
+        self.path = path
+        self.rank = rank
+        self.world_size = world_size
+        os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+        self.shard_path = f"{path}.rank{rank}" if world_size > 1 else path
+        self._f = open(self.shard_path, "w")
+
+    def write(self, record: dict) -> None:
+        self._f.write(json.dumps(record) + "\n")
+
+    def write_batch(self, records: Iterable[dict]) -> None:
+        for r in records:
+            self.write(r)
+
+    def close(self) -> None:
+        self._f.flush()
+        self._f.close()
+
+    def merge(self) -> str:
+        """rank 0: merge shards (call after all ranks closed; on one process
+        this is a no-op)."""
+        self.close() if not self._f.closed else None
+        if self.world_size == 1:
+            return self.path
+        if self.rank != 0:
+            return self.path
+        with open(self.path, "w") as out:
+            for r in range(self.world_size):
+                shard = f"{self.path}.rank{r}"
+                # wait for shards (filesystem barrier, reference-style)
+                for _ in range(600):
+                    if osp.exists(shard):
+                        break
+                    time.sleep(0.5)
+                with open(shard) as f:
+                    out.write(f.read())
+        return self.path
+
+
+# ---------------------------------------------------------------------------
+# solver base
+# ---------------------------------------------------------------------------
+
+
+class Solver:
+    """Config-driven solver base: dist init, mesh, model, data, eval loop."""
+
+    def __init__(self, config: Config | str, evaluate_only: bool = False):
+        self.cfg = load_config(config) if isinstance(config, str) else config
+        self.dist: DistContext = init_distributed()
+        self.mesh = get_mesh(("data",))
+        self.evaluate_only = evaluate_only
+        self.rank = self.dist.rank
+        self.world_size = self.dist.world_size
+        self.classifier = None
+        self._eval_fn = None
+
+    # -- model --
+    def build_model(self, seed: int = 0):
+        mcfg = self.cfg.model
+        kwargs = dict(mcfg.get("kwargs") or {})
+        self.classifier = create_classifier(mcfg.type, rng=seed, **kwargs)
+        load_pretrain_into(self.classifier, self.cfg.get("saver"))
+        return self.classifier
+
+    # -- jitted eval step --
+    def eval_fn(self) -> Callable:
+        """Jitted (variables, u8 images, …) → logits with data-sharded batch.
+
+        uint8 NHWC enters the device; /255 normalization and the model's own
+        mean/std fuse into the first conv under XLA.
+        """
+        if self._eval_fn is not None:
+            return self._eval_fn
+        clf = self.classifier
+        mesh = self.mesh
+
+        @jax.jit
+        def fn(variables, images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            return clf.apply_fn(variables, x, train=False)
+
+        def wrapped(variables, images_u8):
+            images_u8 = jax.device_put(
+                images_u8, batch_sharding(mesh, images_u8.ndim)
+            )
+            return fn(variables, images_u8)
+
+        self._eval_fn = wrapped
+        return wrapped
+
+    def run_eval_loop(
+        self,
+        loader,
+        writer: ResultWriter,
+        record_fn: Callable[[np.ndarray, np.ndarray, np.ndarray], Iterable[dict]] | None = None,
+        limit_samples: int | None = None,
+    ) -> int:
+        """Forward-only loop: batches → logits → JSON-lines records.
+
+        Default record: {"score": [...logits...], "label": l} per valid
+        sample — the evaluator-facing protocol (SURVEY.md §3.4).
+        """
+        eval_fn = self.eval_fn()
+        variables = self.classifier.variables
+        n_written = 0
+        t0 = time.time()
+        n_images = 0
+        for batch in loader:
+            logits = np.asarray(eval_fn(variables, batch.image))
+            mask = batch.mask
+            n_images += int(mask.sum())
+            if record_fn is None:
+                records = (
+                    {"score": logits[i].tolist(), "label": int(batch.label[i])}
+                    for i in range(len(mask))
+                    if mask[i]
+                )
+            else:
+                records = record_fn(logits, batch.label, mask)
+            for rec in records:
+                writer.write(rec)
+                n_written += 1
+                if limit_samples and n_written >= limit_samples:
+                    break
+            if limit_samples and n_written >= limit_samples:
+                break
+        dt = time.time() - t0
+        logger.info(
+            "eval loop: %d samples in %.2fs (%.1f img/s)",
+            n_written, dt, n_images / max(dt, 1e-9),
+        )
+        return n_written
+
+
+def standard_solver_argparser(description: str):
+    """The reference solver CLI surface (README.md:91; eval.sh usage):
+    --config --evaluate --recover --ckpt-filePath."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--config", required=True, help="yaml config path")
+    parser.add_argument("--evaluate", action="store_true", help="eval only")
+    parser.add_argument("--recover", default=None, help="checkpoint to resume")
+    parser.add_argument(
+        "--ckpt-filePath", dest="ckpt_filePath", default=None,
+        help="checkpoint file/dir for evaluation",
+    )
+    return parser

@@ -1,0 +1,308 @@
+"""``cls_solver`` — classification training + evaluation.
+
+TPU-native equivalent of the reference's core solver
+(``prototype.prototype.solver.cls_solver`` — usage: reference
+README.md:114-121, exprs/robust_baseline_exp/resnet/resnet50/run.sh:2; API
+surface reconstructed in SURVEY.md §2.9/§3.2). One YAML config drives both
+training and eval (``--evaluate``), with ``--recover`` resume and
+``--ckpt-filePath`` checkpoint selection.
+
+Design: the whole train step — /255, mixup/cutmix, normalize, forward,
+backward, optimizer, EMA — is ONE jitted XLA program over a batch-sharded
+global array; gradient sync is the ``psum`` XLA inserts for the sharded
+batch axis (replaces DDP allreduce + the ``dist.sync`` toggle, SURVEY.md
+§2.11). BN runs global-batch statistics (= SyncBN).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from robustart_tpu.core.config import Config
+from robustart_tpu.core.dist import batch_sharding
+from robustart_tpu.core.logging import get_logger
+from robustart_tpu.data import build_dataloader
+from robustart_tpu.metrics import ImageNetCEvaluator, ImageNetEvaluator
+from robustart_tpu.solvers.base import (
+    ResultWriter,
+    Solver,
+    load_checkpoint,
+    save_checkpoint,
+    standard_solver_argparser,
+)
+from robustart_tpu.solvers.optim import (
+    build_optimizer,
+    build_schedule,
+    ema_update,
+    mixup_cutmix,
+    one_hot_smooth,
+    smoothed_cross_entropy,
+)
+
+logger = get_logger("robustart.cls_solver")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+
+
+class ClsSolver(Solver):
+    """Train/eval solver for image classification."""
+
+    # ------------------------------------------------------------------ train
+    def train(self, recover: str | None = None) -> None:
+        cfg = self.cfg
+        clf = self.build_model(seed=int(cfg.get("seed", 0)))
+        data_cfg = cfg.data
+        lr_kwargs = cfg.lr_scheduler.get("kwargs") or {}
+        max_epoch = int(lr_kwargs.get("max_epoch", 100))
+
+        loader0 = build_dataloader(
+            data_cfg, "train", self.rank, self.world_size, epoch=0,
+            seed=int(cfg.get("seed", 0)),
+        )
+        steps_per_epoch = len(loader0)
+        schedule = build_schedule(cfg.lr_scheduler, steps_per_epoch)
+        tx = build_optimizer(cfg.optimizer, schedule)
+
+        num_classes = clf.num_classes
+        smoothing = float(cfg.get("label_smooth", 0.0) or 0.0)
+        mixup_alpha = float(cfg.get("mixup", 0.0) or 0.0)
+        cutmix_alpha = float(cfg.get("cutmix", 0.0) or 0.0)
+        ema_cfg = cfg.get("ema") or {}
+        ema_enabled = bool(ema_cfg.get("enable", False))
+        ema_decay = float((ema_cfg.get("kwargs") or {}).get("decay", 0.9999))
+
+        params = clf.variables["params"]
+        batch_stats = clf.variables.get("batch_stats", {})
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            ema_params=jax.tree.map(jnp.copy, params) if ema_enabled else {},
+        )
+        start_epoch = 0
+        if recover:
+            from flax import serialization
+
+            ckpt = load_checkpoint(recover)
+            state = serialization.from_state_dict(state, ckpt["extra"]["state"])
+            start_epoch = int(ckpt["extra"].get("epoch", 0))
+            logger.info("recovered from %s at epoch %d", recover, start_epoch)
+
+        module = clf.module
+        mean, std = clf.mean, clf.std
+
+        # adversarial training: generate attacks in eval mode INSIDE the same
+        # jitted step (reference adv_cls_solver_train_pgd; the CIFAR mirror's
+        # denormalize→attack→renormalize dance at cifar10/code/train.py:104-111
+        # disappears because attacks operate in [0,1] natively here)
+        adv_cfg = cfg.get("adv_train") or {}
+        adv_enabled = bool(adv_cfg.get("enable", False))
+        if adv_enabled:
+            from robustart_tpu.attacks import ATTACKS
+
+            adv_attack = ATTACKS[adv_cfg.get("attack", "pgd_linf")]
+            adv_kwargs = dict(adv_cfg.get("kwargs") or {})
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, images_u8, labels, rng):
+            x = images_u8.astype(jnp.float32) / 255.0
+            soft = one_hot_smooth(labels, num_classes, smoothing)
+            rng_mix, rng_drop, rng_adv = jax.random.split(rng, 3)
+            if adv_enabled:
+                frozen = {"params": state.params}
+                if state.batch_stats:
+                    frozen["batch_stats"] = state.batch_stats
+
+                def eval_logits(variables, img01):
+                    xin = (img01 - jnp.asarray(mean).reshape(1, 1, 1, -1)) / (
+                        jnp.asarray(std).reshape(1, 1, 1, -1)
+                    )
+                    return module.apply(variables, xin, train=False)
+
+                x = adv_attack(eval_logits, frozen, x, labels, rng_adv,
+                               **adv_kwargs)
+            x, soft = mixup_cutmix(rng_mix, x, soft, mixup_alpha, cutmix_alpha)
+            mean_a = jnp.asarray(mean).reshape(1, 1, 1, -1)
+            std_a = jnp.asarray(std).reshape(1, 1, 1, -1)
+            x = (x - mean_a) / std_a
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    out, updates = module.apply(
+                        variables, x, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": rng_drop},
+                    )
+                    new_stats = updates["batch_stats"]
+                else:
+                    out = module.apply(
+                        variables, x, train=True, rngs={"dropout": rng_drop}
+                    )
+                    new_stats = state.batch_stats
+                return smoothed_cross_entropy(out, soft), (out, new_stats)
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(
+                lambda p, u: p + u, state.params, updates
+            )
+            new_ema = (
+                ema_update(state.ema_params, new_params, ema_decay)
+                if ema_enabled
+                else {}
+            )
+            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                ema_params=new_ema,
+            )
+            return new_state, {"loss": loss, "acc": acc,
+                               "lr": schedule(state.step)}
+
+        saver = cfg.get("saver") or {}
+        print_freq = int(saver.get("print_freq", 10))
+        val_freq = int(saver.get("val_freq", steps_per_epoch))
+        save_many = bool(saver.get("save_many", False))
+        save_dir = saver.get("save_dir", "checkpoints")
+        base_rng = jax.random.key(int(cfg.get("seed", 0)) + 1)
+
+        step = int(state.step)
+        for epoch in range(start_epoch, max_epoch):
+            loader = (
+                loader0
+                if epoch == 0
+                else build_dataloader(
+                    data_cfg, "train", self.rank, self.world_size,
+                    epoch=epoch, seed=int(cfg.get("seed", 0)),
+                )
+            )
+            t0 = time.time()
+            for batch in loader:
+                images = jax.device_put(
+                    batch.image, batch_sharding(self.mesh, 4)
+                )
+                labels = jax.device_put(
+                    batch.label, batch_sharding(self.mesh, 1)
+                )
+                state, metrics = train_step(
+                    state, images, labels, jax.random.fold_in(base_rng, step)
+                )
+                step += 1
+                if step % print_freq == 0:
+                    m = jax.device_get(metrics)
+                    logger.info(
+                        "epoch %d step %d loss %.4f acc %.3f lr %.5f (%.1f img/s)",
+                        epoch, step, m["loss"], m["acc"], m["lr"],
+                        print_freq * batch.image.shape[0] / max(time.time() - t0, 1e-9),
+                    )
+                    t0 = time.time()
+                if step % val_freq == 0 and self.rank == 0:
+                    self._save_train_ckpt(state, epoch, save_dir, save_many, step)
+            if self.rank == 0:
+                self._save_train_ckpt(state, epoch + 1, save_dir, save_many, step)
+        # leave the trained weights on the classifier for immediate eval
+        variables = {"params": jax.device_get(state.params)}
+        if state.batch_stats:
+            variables["batch_stats"] = jax.device_get(state.batch_stats)
+        self.classifier.variables = variables
+        self._train_state = state
+
+    def _save_train_ckpt(self, state, epoch, save_dir, save_many, step):
+        host_state = jax.device_get(
+            {
+                "step": state.step,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "ema_params": state.ema_params,
+            }
+        )
+        variables = {"params": host_state["params"]}
+        if host_state["batch_stats"]:
+            variables["batch_stats"] = host_state["batch_stats"]
+        name = f"ckpt_e{epoch}.msgpack" if save_many else "ckpt.msgpack"
+        save_checkpoint(
+            osp.join(save_dir, name), variables,
+            extra={"state": host_state, "epoch": epoch, "step": step},
+        )
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(self, ckpt_path: str | None = None,
+                 results_path: str | None = None) -> dict:
+        cfg = self.cfg
+        if self.classifier is None:
+            self.build_model(seed=int(cfg.get("seed", 0)))
+        if ckpt_path:
+            if osp.isdir(ckpt_path):
+                cands = sorted(
+                    f for f in os.listdir(ckpt_path) if f.endswith(".msgpack")
+                )
+                ckpt_path = osp.join(ckpt_path, cands[-1])
+            self.classifier.variables = load_checkpoint(ckpt_path)["variables"]
+
+        loader = build_dataloader(
+            cfg.data, "test", self.rank, self.world_size,
+            seed=int(cfg.get("seed", 0)),
+        )
+        results_path = results_path or cfg.get_path(
+            "saver.results_path", "results/results.txt.all"
+        )
+        writer = ResultWriter(results_path, self.rank, self.world_size)
+        self.run_eval_loop(
+            loader, writer,
+            limit_samples=cfg.get_path("data.test.limit_samples"),
+        )
+        writer.close()
+        merged = writer.merge()
+        if self.rank != 0:
+            return {}
+
+        ev_cfg = cfg.get_path("data.test.evaluator") or Config(
+            {"type": "imagenet", "kwargs": {"topk": [1, 5]}}
+        )
+        ev_type = ev_cfg.get("type", "imagenet")
+        kwargs = dict(ev_cfg.get("kwargs") or {})
+        evaluator = (
+            ImageNetCEvaluator(**kwargs)
+            if ev_type == "imagenetc"
+            else ImageNetEvaluator(**kwargs)
+        )
+        metric = evaluator.eval(merged)
+        logger.info("eval metric: %s", metric)
+        return dict(metric.metric)
+
+
+def main(argv=None):
+    parser = standard_solver_argparser("robustart cls_solver")
+    args = parser.parse_args(argv)
+    solver = ClsSolver(args.config, evaluate_only=args.evaluate)
+    if args.evaluate:
+        return solver.evaluate(ckpt_path=args.ckpt_filePath)
+    solver.train(recover=args.recover)
+    return solver.evaluate()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""``imgnet_p_eval_solver`` — ImageNet-P perturbation-sequence eval (mFR).
+
+Reference equivalent: ``prototype.prototype.solver.imgnet_p_eval_solver``
+(usage: reference train/__init__.py:1, exprs/exp/imagenet-p-loop-mini/
+eval.sh:25 with JUSTNORM transforms, config_vit_base.yaml:80,85; protocol in
+SURVEY.md §3.5). Each sample is a perturbation *video* of F frames; the
+solver batches (B, F, H, W, 3) → (B·F, H, W, 3) for ONE large forward per
+batch (the efficient shape the CIFAR-P in-tree mirror uses,
+test_cifar_p.py:177) and dumps {'predictions': [...]} per video for the
+ImageNetPEvaluator flip-rate.
+
+Data: ``data.test.perturbations`` lists perturbation names; per perturbation
+the videos live as .npy (F, H, W, 3) files in
+``root_dir/<perturbation>/`` via a meta file, or are synthesized online
+(``read_from: fake`` — frame 0 plus progressive noise) for tests.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+import numpy as np
+
+from robustart_tpu.core.logging import get_logger
+from robustart_tpu.data import build_dataloader
+from robustart_tpu.metrics import ImageNetPEvaluator
+from robustart_tpu.solvers.base import ResultWriter, Solver, standard_solver_argparser
+
+logger = get_logger("robustart.p_eval")
+
+DEFAULT_PERTURBATIONS = (
+    "gaussian_noise", "shot_noise", "motion_blur", "zoom_blur",
+    "brightness", "translate", "rotate", "tilt", "scale", "snow",
+)
+
+
+class ImgnetPEvalSolver(Solver):
+    def evaluate(self, ckpt_path: str | None = None) -> dict:
+        cfg = self.cfg
+        if self.classifier is None:
+            self.build_model(seed=int(cfg.get("seed", 0)))
+        test_cfg = cfg.data.get("test", {})
+        out_root = cfg.get_path("saver.results_dir", "results/imagenet-p")
+        perturbations = list(test_cfg.get("perturbations", DEFAULT_PERTURBATIONS))
+        n_frames = int(test_cfg.get("n_frames", 31))
+        limit = test_cfg.get("limit_samples")
+
+        evaluator = ImageNetPEvaluator()
+        for pert in perturbations:
+            res_file = osp.join(out_root, pert, "results.txt.all")
+            if not osp.exists(res_file):
+                self._eval_perturbation(pert, n_frames, res_file, limit)
+            if self.rank == 0:
+                out = evaluator.eval(res_file, perturbation=pert)
+                logger.info("ImageNet-P %s: %s", pert, out)
+        if self.rank != 0:
+            return {}
+        mean = evaluator.get_mean()
+        summary = {"per_perturbation": dict(evaluator.metric.metric), **mean}
+        logger.info("ImageNet-P mFR summary: %s", summary)
+        return summary
+
+    def _eval_perturbation(self, pert, n_frames, res_file, limit):
+        cfg = self.cfg
+        data_cfg = cfg.data
+        read_from = data_cfg.get("read_from", "fs")
+        eval_fn = self.eval_fn()
+        variables = self.classifier.variables
+        writer = ResultWriter(res_file, self.rank, self.world_size)
+
+        if read_from == "fake":
+            self._eval_fake_videos(pert, n_frames, writer, limit, eval_fn, variables)
+        else:
+            override = dict(data_cfg.get("test", {}))
+            override["root_dir"] = osp.join(override.get("root_dir", ""), pert)
+            loader = build_dataloader(
+                data_cfg, "test", self.rank, self.world_size,
+                split_cfg_override=override, seed=int(cfg.get("seed", 0)),
+            )
+            # items are .npy videos (F, H, W, 3); loader yields them stacked
+            for batch in loader:
+                vids = batch.image  # (B, F, H, W, 3) uint8
+                b, f = vids.shape[0], vids.shape[1]
+                flat = vids.reshape((b * f,) + vids.shape[2:])
+                preds = np.asarray(eval_fn(variables, flat)).argmax(-1)
+                preds = preds.reshape(b, f)
+                for i in range(b):
+                    if batch.mask[i]:
+                        writer.write({"predictions": preds[i].tolist()})
+        writer.close()
+        writer.merge()
+
+    def _eval_fake_videos(self, pert, n_frames, writer, limit, eval_fn, variables):
+        """Synthesize perturbation videos from the fake backend: frame k =
+        clean frame + k·noise (monotone drift, exercising the flip metric)."""
+        cfg = self.cfg
+        loader = build_dataloader(
+            cfg.data, "test", self.rank, self.world_size,
+            seed=int(cfg.get("seed", 0)),
+        )
+        rng = np.random.default_rng(17)
+        n_done = 0
+        for batch in loader:
+            imgs = batch.image.astype(np.float32)
+            b = imgs.shape[0]
+            drift = rng.normal(0, 4.0, size=imgs.shape).astype(np.float32)
+            frames = np.stack(
+                [np.clip(imgs + k * drift, 0, 255) for k in range(n_frames)],
+                axis=1,
+            ).astype(np.uint8)
+            flat = frames.reshape((b * n_frames,) + frames.shape[2:])
+            preds = np.asarray(eval_fn(variables, flat)).argmax(-1)
+            preds = preds.reshape(b, n_frames)
+            for i in range(b):
+                if batch.mask[i]:
+                    writer.write({"predictions": preds[i].tolist()})
+                    n_done += 1
+                    if limit and n_done >= limit:
+                        return
+            if limit and n_done >= limit:
+                return
+
+
+def main(argv=None):
+    parser = standard_solver_argparser("robustart imgnet_p_eval_solver")
+    args = parser.parse_args(argv)
+    return ImgnetPEvalSolver(args.config, True).evaluate(args.ckpt_filePath)
+
+
+if __name__ == "__main__":
+    main()

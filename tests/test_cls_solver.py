@@ -1,0 +1,129 @@
+"""End-to-end cls_solver tests on the fake backend (SURVEY.md §4 strategy).
+
+Exercises: config → model → sharded train loop (8-device CPU mesh) →
+checkpoint → eval loop → results.txt.all → evaluator — the minimum
+end-to-end slice of SURVEY.md §7.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from robustart_tpu.core.config import Config
+from robustart_tpu.solvers.cls_solver import ClsSolver
+
+
+def _cfg(tmp_path, train=True, num_classes=10):
+    return Config(
+        {
+            "model": {
+                "type": "resnet18",
+                "kwargs": {"num_classes": num_classes},
+            },
+            "seed": 0,
+            "label_smooth": 0.1,
+            "mixup": 0.2,
+            "cutmix": 1.0,
+            "ema": {"enable": True, "kwargs": {"decay": 0.99}},
+            "optimizer": {
+                "type": "SGD",
+                "kwargs": {"momentum": 0.9, "nesterov": True,
+                           "weight_decay": 0.0001},
+            },
+            "lr_scheduler": {
+                "type": "CosineEpoch",
+                "kwargs": {
+                    "base_lr": 0.01, "warmup_lr": 0.04, "warmup_epoch": 1,
+                    "max_epoch": 2, "min_lr": 0.0,
+                },
+            },
+            "data": {
+                "type": "imagenet",
+                "read_from": "fake",
+                "fake_size": 32,
+                "fake_num_classes": num_classes,
+                "batch_size": 8,
+                "num_workers": 2,
+                "input_size": 32,
+                "test_resize": 36,
+                "train": {
+                    "sampler": {"type": "distributed_iteration"},
+                    "transforms": {"type": "JUSTNORM"},
+                },
+                "test": {
+                    "sampler": {"type": "distributed"},
+                    "transforms": {"type": "JUSTNORM"},
+                    "evaluator": {"type": "imagenet", "kwargs": {"topk": [1, 5]}},
+                },
+            },
+            "saver": {
+                "print_freq": 2,
+                "val_freq": 100,
+                "save_many": False,
+                "save_dir": str(tmp_path / "checkpoints"),
+                "results_path": str(tmp_path / "results" / "results.txt.all"),
+            },
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("cls")
+    solver = ClsSolver(_cfg(tmp_path))
+    solver.train()
+    return solver, tmp_path
+
+
+def test_train_runs_and_checkpoints(trained):
+    solver, tmp_path = trained
+    assert os.path.exists(tmp_path / "checkpoints" / "ckpt.msgpack")
+    assert int(solver._train_state.step) == 8  # 2 epochs x 4 steps
+
+
+def test_eval_writes_results_and_metric(trained):
+    solver, tmp_path = trained
+    metrics = solver.evaluate()
+    res_file = tmp_path / "results" / "results.txt.all"
+    assert res_file.exists()
+    lines = [json.loads(l) for l in open(res_file)]
+    assert len(lines) == 32  # every fake sample exactly once
+    assert len(lines[0]["score"]) == 10
+    assert set(metrics) == {"top1", "top5"}
+    # 10-class fake data, 2 epochs: should beat random chance on top5
+    assert metrics["top5"] >= 30.0
+
+
+def test_eval_from_checkpoint_path(trained, tmp_path):
+    solver, train_tmp = trained
+    cfg = _cfg(train_tmp)
+    cfg.saver.results_path = str(tmp_path / "r2" / "results.txt.all")
+    s2 = ClsSolver(cfg)
+    metrics = s2.evaluate(ckpt_path=str(train_tmp / "checkpoints"))
+    assert set(metrics) == {"top1", "top5"}
+
+
+def test_training_reduces_loss(tmp_path):
+    # memorization sanity without batch augmentation (mixup/cutmix blur labels)
+    cfg = _cfg(tmp_path, num_classes=10)
+    cfg.mixup = 0.0
+    cfg.cutmix = 0.0
+    cfg.label_smooth = 0.0
+    cfg.lr_scheduler.kwargs.max_epoch = 4
+    solver = ClsSolver(cfg)
+    solver.train()
+    state = solver._train_state
+    # evaluate training loss on the (memorizable) fake set
+    from robustart_tpu.data import build_dataloader
+
+    loader = build_dataloader(cfg.data, "test")
+    clf = solver.classifier
+    correct = total = 0
+    for batch in loader:
+        logits = np.asarray(clf(batch.image.astype(np.float32) / 255.0))
+        pred = logits.argmax(-1)
+        correct += int((pred[batch.mask] == batch.label[batch.mask]).sum())
+        total += int(batch.mask.sum())
+    assert correct / total > 0.2  # memorization beats 10% chance

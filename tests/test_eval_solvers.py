@@ -1,0 +1,123 @@
+"""End-to-end tests of the benchmark eval solvers on the fake backend."""
+
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from robustart_tpu.core.config import Config
+from robustart_tpu.solvers import (
+    BenchmarkEvalAdvSolver,
+    ImgnetAOEvalSolver,
+    ImgnetPEvalSolver,
+    MultiEvalDecoderResizeSolver,
+    MultiEvalSolver,
+)
+
+
+def _cfg(tmp_path, **extra_test):
+    test = {
+        "sampler": {"type": "distributed"},
+        "transforms": {"type": "JUSTNORM"},
+        "evaluator": {"type": "imagenetc", "kwargs": {"topk": [1, 5]}},
+    }
+    test.update(extra_test)
+    return Config(
+        {
+            "model": {"type": "resnet18", "kwargs": {"num_classes": 10}},
+            "seed": 0,
+            "data": {
+                "read_from": "fake",
+                "fake_size": 16,
+                "fake_num_classes": 10,
+                "batch_size": 8,
+                "num_workers": 2,
+                "input_size": 32,
+                "test": test,
+            },
+            "saver": {"results_dir": str(tmp_path / "results")},
+        }
+    )
+
+
+def test_multi_eval_solver_online_imagenet_c(tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        imagenet_c_online=True,
+        corruptions=["gaussian_noise", "contrast"],
+        severities=[1, 3],
+    )
+    solver = MultiEvalSolver(cfg)
+    summary = solver.evaluate()
+    assert set(summary["top1_per_corruption"]) == {"gaussian_noise", "contrast"}
+    res = tmp_path / "results" / "gaussian_noise" / "1" / "results.txt.all"
+    assert res.exists()
+    assert len(open(res).readlines()) == 16
+    # metric JSON written next to results (reference protocol)
+    assert (tmp_path / "results" / "gaussian_noise" / "1" / "metric").exists()
+    assert summary["mCE"] is not None
+
+    # idempotent recovery: second run skips existing files, same summary
+    summary2 = MultiEvalSolver(cfg).evaluate()
+    assert summary2["top1_per_corruption"] == summary["top1_per_corruption"]
+
+
+def test_imgnet_a_o_eval_solver(tmp_path):
+    cfg = _cfg(tmp_path, **{"imagenet_a&o": True, "class_subset": list(range(5))})
+    solver = ImgnetAOEvalSolver(cfg)
+    results = solver.evaluate()
+    assert "imagenet-a" in results and "top1" in results["imagenet-a"]
+    assert "imagenet-o" in results and "AUPR" in results["imagenet-o"]
+    res_a = tmp_path / "results" / "imagenet-a" / "results.txt.all"
+    lines = [json.loads(l) for l in open(res_a)]
+    assert len(lines[0]["score"]) == 5  # restricted to the class subset
+
+
+def test_imgnet_p_eval_solver(tmp_path):
+    cfg = _cfg(tmp_path, perturbations=["gaussian_noise", "tilt"], n_frames=4)
+    solver = ImgnetPEvalSolver(cfg)
+    summary = solver.evaluate()
+    assert set(summary["per_perturbation"]) == {"gaussian_noise", "tilt"}
+    assert 0.0 <= summary["Mean"] <= 1.0
+    res = tmp_path / "results" / "tilt" / "results.txt.all"
+    lines = [json.loads(l) for l in open(res)]
+    assert len(lines) == 16 and len(lines[0]["predictions"]) == 4
+
+
+def test_multi_eval_decoder_resize_solver(tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        decoders=["pil", "opencv"],
+        resize_types=["pil-bilinear", "opencv-bilinear"],
+        limit_samples=4,
+        save_acc_var_neg=True,
+        fake_root=str(tmp_path / "s_fake"),
+    )
+    cfg.data.fake_size = 4
+    solver = MultiEvalDecoderResizeSolver(cfg)
+    summary = solver.evaluate()
+    assert len(summary["per_combo"]) == 4
+    assert "Mean" in summary and "Std." in summary and "acc_var_neg" in summary
+
+
+@pytest.mark.parametrize("attack,eps", [("fgsm", 8.0), ("pgd_linf", 2.0)])
+def test_benchmark_eval_adv_whitebox(tmp_path, attack, eps):
+    cfg = _cfg(tmp_path)
+    solver = BenchmarkEvalAdvSolver(cfg, attack=attack, eps=eps)
+    out = solver.evaluate()
+    assert 0.0 <= out["AR"] <= 100.0
+    assert osp.exists(out["adv_file"]) and osp.exists(out["clean_file"])
+    # protocol: AR parse_line reads {"prediction": p, "label": l}
+    line = open(out["adv_file"]).readline()
+    rec = json.loads(line)
+    assert set(rec) == {"prediction", "label"}
+
+
+def test_benchmark_eval_adv_transfer(tmp_path):
+    cfg = _cfg(tmp_path)
+    solver = BenchmarkEvalAdvSolver(
+        cfg, src_name="resnet18", tgt_name="resnet18", attack="fgsm", eps=8.0
+    )
+    out = solver.evaluate()
+    assert "AR" in out
