@@ -39,8 +39,7 @@ def main() -> None:
     variables = clf.variables
     corrupt = CORRUPTIONS["gaussian_noise"]
 
-    @jax.jit
-    def step(variables, images_u8, key):
+    def one_batch(variables, images_u8, key):
         x01 = images_u8.astype(jnp.float32) / 255.0
         keys = jax.random.split(key, x01.shape[0])
         corrupted = jax.vmap(lambda img, k: corrupt(img, k, 3))(x01, keys)
@@ -48,19 +47,29 @@ def main() -> None:
         q = jnp.floor(jnp.clip(corrupted, 0.0, 1.0) * 255.0) / 255.0
         return clf.apply_fn(variables, q, train=False)
 
+    # The relay transport makes per-call timing unreliable (completion is only
+    # observable at host fetch), so the whole measured run is ONE XLA program:
+    # a fori_loop of `iters` corrupted-eval batches accumulating a checksum,
+    # fetched as a single scalar.
+    @jax.jit
+    def megastep(variables, images_u8, key, iters):
+        def body(i, acc):
+            logits = one_batch(variables, images_u8, jax.random.fold_in(key, i))
+            return acc + logits.sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, size=(BATCH, 224, 224, 3), dtype=np.uint8)
     images = jax.device_put(images)
     key = jax.random.key(0)
 
-    for i in range(WARMUP):
-        step(variables, images, jax.random.fold_in(key, i)).block_until_ready()
+    float(megastep(variables, images, key, WARMUP))  # compile + warmup
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = step(variables, images, jax.random.fold_in(key, 100 + i))
-    out.block_until_ready()
+    checksum = float(megastep(variables, images, key, ITERS))
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     img_per_sec = BATCH * ITERS / dt
     print(

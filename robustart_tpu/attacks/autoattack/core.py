@@ -1,0 +1,261 @@
+"""AutoAttack — the parameter-free ensemble cascade.
+
+API-compatible re-implementation of the reference's vendored AutoAttack
+(reference RobustART/noise/utils/adv/Attacks/autoattack/autoattack.py:26-284):
+``AutoAttack(model, norm, eps, version).run_standard_evaluation(x, y, bs)``
+with versions:
+
+- standard: APGD-CE (1 restart, 100 it) → APGD-T (9 target classes) →
+  FAB-T (9 targets) → Square (5000 queries)   (autoattack.py:253-267)
+- rand:     APGD-CE + APGD-DLR with EOT 20    (autoattack.py:268-275)
+- plus:     adds APGD-DLR and more restarts   (autoattack.py:276-284)
+
+Differences by design (TPU-native):
+
+- ``model`` is a robustart_tpu Classifier consuming NHWC [0,1] batches; its
+  internal normalization replaces the reference's hard-coded NormalizeModel
+  wrap (autoattack.py:12-23).
+- The shrinking worklist ("attack only still-robust points",
+  autoattack.py:116-137) is expressed as per-sample masking over
+  static-shaped batches, so each cascade stage is one jitted XLA program and
+  nothing recompiles as the robust set shrinks (SURVEY.md §7 hard-part #2).
+- The reference's final perturbation-norm/NaN sanity check
+  (autoattack.py:199-209) is kept.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robustart_tpu.attacks.autoattack.apgd import apgd_attack
+from robustart_tpu.attacks.autoattack.fab import fab_attack_targeted
+from robustart_tpu.attacks.autoattack.square import square_attack_linf
+from robustart_tpu.core.logging import get_logger
+
+logger = get_logger("robustart.autoattack")
+
+
+class AutoAttack:
+    def __init__(
+        self,
+        model,
+        norm: str = "Linf",
+        eps: float = 8 / 255,
+        version: str = "standard",
+        verbose: bool = False,
+        seed: int | None = None,
+        attacks_to_run: list[str] | None = None,
+        n_iter: int = 100,
+        n_target_classes: int = 9,
+        square_n_queries: int = 5000,
+    ):
+        assert norm in ("Linf", "L2"), norm
+        self.model = model
+        self.norm = norm
+        self.eps = float(eps)
+        self.version = version
+        self.verbose = verbose
+        self.seed = seed if seed is not None else 0
+        self.n_iter = n_iter
+        self.n_target_classes = n_target_classes
+        self.square_n_queries = square_n_queries
+
+        if attacks_to_run is not None:
+            self.attacks_to_run = list(attacks_to_run)
+        elif version == "standard":
+            self.attacks_to_run = ["apgd-ce", "apgd-t", "fab-t", "square"]
+            self.apgd_n_restarts = 1
+            self.eot_iter = 1
+        elif version == "rand":
+            self.attacks_to_run = ["apgd-ce", "apgd-dlr"]
+            self.apgd_n_restarts = 1
+            self.eot_iter = 20
+        elif version == "plus":
+            self.attacks_to_run = ["apgd-ce", "apgd-dlr", "fab-t", "square", "apgd-t"]
+            self.apgd_n_restarts = 5
+            self.eot_iter = 1
+        else:
+            raise ValueError(f"unknown version {version!r}")
+        if not hasattr(self, "apgd_n_restarts"):
+            self.apgd_n_restarts = 1
+            self.eot_iter = 1
+
+        self._logits_fn = lambda variables, img: model.apply_fn(
+            variables, img, train=False
+        )
+
+    # -- helpers --
+    def _predict(self, x) -> np.ndarray:
+        return np.asarray(
+            jnp.argmax(self._logits_fn(self.model.variables, jnp.asarray(x)), 1)
+        )
+
+    def clean_accuracy(self, x, y, bs: int = 250) -> float:
+        """(reference autoattack.py:213-225)"""
+        x = np.asarray(x)
+        y = np.asarray(y)
+        correct = 0
+        for lo in range(0, x.shape[0], bs):
+            pred = self._predict(x[lo : lo + bs])
+            correct += int((pred == y[lo : lo + bs]).sum())
+        return correct / x.shape[0]
+
+    def _ranked_targets(self, x, y, rank: int) -> np.ndarray:
+        """target class = (rank+2)-th most probable class (rank 0 → 2nd)."""
+        logits = np.asarray(self._logits_fn(self.model.variables, jnp.asarray(x)))
+        order = np.argsort(-logits, axis=1)
+        # skip the true class when it tops the ranking
+        targets = np.empty(x.shape[0], np.int32)
+        for i in range(x.shape[0]):
+            cand = [c for c in order[i] if c != y[i]]
+            targets[i] = cand[min(rank, len(cand) - 1)]
+        return targets
+
+    # -- cascade --
+    def run_standard_evaluation(self, x, y, bs: int = 250) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        y = np.asarray(y)
+        n = x.shape[0]
+        x_adv = x.copy()
+        t_start = time.time()
+
+        # clean pass → robust flags (reference autoattack.py:95-109)
+        robust = np.zeros(n, bool)
+        for lo in range(0, n, bs):
+            pred = self._predict(x[lo : lo + bs])
+            robust[lo : lo + bs] = pred == y[lo : lo + bs]
+        if self.verbose:
+            logger.info("initial accuracy: %.2f%%", 100 * robust.mean())
+
+        key = jax.random.key(self.seed)
+        for attack in self.attacks_to_run:
+            if not robust.any():
+                break
+            t0 = time.time()
+            for lo in range(0, n, bs):
+                hi = min(lo + bs, n)
+                sel = slice(lo, hi)
+                if not robust[sel].any():
+                    continue
+                key, sub = jax.random.split(key)
+                x_try = self._run_one(
+                    attack, x[sel], y[sel], sub
+                )
+                pred = self._predict(x_try)
+                newly_broken = (pred != y[sel]) & robust[sel]
+                # sanity: stay inside the eps-ball, no NaNs (reference
+                # autoattack.py:199-209)
+                delta = x_try - x[sel]
+                if self.norm == "Linf":
+                    norms = np.abs(delta).reshape(hi - lo, -1).max(1)
+                else:
+                    norms = np.sqrt(
+                        (delta.reshape(hi - lo, -1) ** 2).sum(1)
+                    )
+                ok = (norms <= self.eps * 1.001) & np.isfinite(
+                    x_try.reshape(hi - lo, -1)
+                ).all(1)
+                accept = newly_broken & ok
+                x_adv[sel][accept] = x_try[accept]  # noqa: B909 (copy below)
+                idx = np.nonzero(accept)[0] + lo
+                x_adv[idx] = x_try[accept]
+                robust[idx] = False
+            if self.verbose:
+                logger.info(
+                    "%s done in %.1fs — robust accuracy %.2f%%",
+                    attack, time.time() - t0, 100 * robust.mean(),
+                )
+        if self.verbose:
+            logger.info(
+                "AutoAttack (%s) finished in %.1fs: robust accuracy %.2f%%",
+                self.version, time.time() - t_start, 100 * robust.mean(),
+            )
+        return x_adv
+
+    def run_standard_evaluation_individual(self, x, y, bs: int = 250) -> dict:
+        """Per-attack adversarial sets (reference autoattack.py:227-247)."""
+        out = {}
+        all_attacks = self.attacks_to_run
+        for attack in all_attacks:
+            self.attacks_to_run = [attack]
+            out[attack] = self.run_standard_evaluation(x, y, bs=bs)
+        self.attacks_to_run = all_attacks
+        return out
+
+    def _run_one(self, attack: str, x, y, key) -> np.ndarray:
+        fn = self._logits_fn
+        variables = self.model.variables
+        xj = jnp.asarray(x)
+        yj = jnp.asarray(y)
+        if attack == "apgd-ce":
+            best = None
+            best_f = None
+            for r in range(self.apgd_n_restarts):
+                x_try, f = apgd_attack(
+                    fn, variables, xj, yj, jax.random.fold_in(key, r),
+                    eps=self.eps, norm=self.norm, loss="ce",
+                    n_iter=self.n_iter, eot_iter=self.eot_iter,
+                )
+                if best is None:
+                    best, best_f = x_try, f
+                else:
+                    better = (f > best_f).reshape((-1,) + (1,) * (x.ndim - 1))
+                    best = jnp.where(better, x_try, best)
+                    best_f = jnp.maximum(f, best_f)
+            return np.asarray(best)
+        if attack == "apgd-dlr":
+            x_try, _ = apgd_attack(
+                fn, variables, xj, yj, key,
+                eps=self.eps, norm=self.norm, loss="dlr",
+                n_iter=self.n_iter, eot_iter=self.eot_iter,
+            )
+            return np.asarray(x_try)
+        if attack == "apgd-t":
+            # keep the first successful target's example per sample
+            x_out = np.asarray(x).copy()
+            fooled = np.zeros(x.shape[0], bool)
+            for rank in range(self.n_target_classes):
+                targets = self._ranked_targets(x, y, rank)
+                x_try, _ = apgd_attack(
+                    fn, variables, xj, yj, jax.random.fold_in(key, 100 + rank),
+                    eps=self.eps, norm=self.norm, loss="dlr-targeted",
+                    n_iter=self.n_iter, targets=jnp.asarray(targets),
+                    eot_iter=self.eot_iter,
+                )
+                x_try = np.asarray(x_try)
+                pred = self._predict(x_try)
+                new = (pred != y) & ~fooled
+                x_out[new] = x_try[new]
+                fooled |= new
+                if fooled.all():
+                    break
+            return x_out
+        if attack == "fab-t":
+            x_out = np.asarray(x).copy()
+            best_norm = np.full(x.shape[0], np.inf)
+            for rank in range(self.n_target_classes):
+                targets = self._ranked_targets(x, y, rank)
+                x_try, norms = fab_attack_targeted(
+                    fn, variables, xj, yj, jnp.asarray(targets),
+                    jax.random.fold_in(key, 200 + rank),
+                    eps=self.eps, norm=self.norm, n_iter=self.n_iter,
+                )
+                x_try, norms = np.asarray(x_try), np.asarray(norms)
+                better = norms < best_norm
+                x_out[better] = x_try[better]
+                best_norm = np.minimum(best_norm, norms)
+            return x_out
+        if attack == "square":
+            assert self.norm == "Linf", "Square implemented for Linf"
+            return np.asarray(
+                square_attack_linf(
+                    fn, variables, xj, yj, key,
+                    eps=self.eps, n_queries=self.square_n_queries,
+                )
+            )
+        raise ValueError(f"unknown attack {attack!r}")

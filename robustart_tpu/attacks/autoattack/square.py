@@ -118,8 +118,9 @@ def square_attack_linf(
 
         logits = logits_fn(variables, x_cand)
         margin_c, loss_c = margin_and_ce(logits, labels)
-        # accept where loss decreased AND not already successful
-        accept = (loss_c < loss) & (margin > 0)
+        # accept where the margin loss decreased AND not already successful
+        # (random search minimizes margin = z_y - max_other, square.py:loss)
+        accept = (margin_c < margin) & (margin > 0)
         accept_t = accept.reshape(-1, 1, 1, 1)
         x_adv = jnp.where(accept_t, x_cand, x_adv)
         margin = jnp.where(accept, margin_c, margin)

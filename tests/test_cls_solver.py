@@ -114,16 +114,17 @@ def test_training_reduces_loss(tmp_path):
     cfg.lr_scheduler.kwargs.max_epoch = 4
     solver = ClsSolver(cfg)
     solver.train()
-    state = solver._train_state
-    # evaluate training loss on the (memorizable) fake set
+    # few steps -> BN running stats lag; measure memorization with batch stats
+    # (train-mode forward, params frozen), which isolates "did SGD learn"
     from robustart_tpu.data import build_dataloader
 
     loader = build_dataloader(cfg.data, "test")
     clf = solver.classifier
     correct = total = 0
     for batch in loader:
-        logits = np.asarray(clf(batch.image.astype(np.float32) / 255.0))
-        pred = logits.argmax(-1)
+        x = batch.image.astype(np.float32) / 255.0
+        logits, _ = clf.apply_fn(clf.variables, x, train=True)
+        pred = np.asarray(logits).argmax(-1)
         correct += int((pred[batch.mask] == batch.label[batch.mask]).sum())
         total += int(batch.mask.sum())
-    assert correct / total > 0.2  # memorization beats 10% chance
+    assert correct / total > 0.3  # memorization beats 10% chance
