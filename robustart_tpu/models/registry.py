@@ -77,6 +77,37 @@ _register_family(
     }
 )
 
+from robustart_tpu.models import (  # noqa: E402  (grouped registrations)
+    densenet,
+    efficientnet,
+    mobilenet,
+    regnet,
+    repvgg,
+    shufflenet,
+)
+
+_register_family(
+    {
+        "mobilenet_v2": mobilenet.mobilenet_v2,
+        "mobilenet_v3": mobilenet.mobilenet_v3,
+        "shufflenet_v2_x0_5": shufflenet.shufflenet_v2_x0_5,
+        "shufflenet_v2_x1_0": shufflenet.shufflenet_v2_x1_0,
+        "shufflenet_v2_x1_5": shufflenet.shufflenet_v2_x1_5,
+        "shufflenet_v2_x2_0": shufflenet.shufflenet_v2_x2_0,
+        "densenet121": densenet.densenet121,
+        "densenet169": densenet.densenet169,
+        "densenet201": densenet.densenet201,
+        "repvgg_A0": repvgg.repvgg_A0,
+        "repvgg_B3": repvgg.repvgg_B3,
+    }
+)
+_register_family(dict(regnet.REGNET_FACTORIES))
+for _name, _factory in efficientnet.EFFICIENTNET_FACTORIES.items():
+    _variant = _name.replace("efficientnet_", "").replace("_nodrop", "")
+    _register_family(
+        {_name: _factory}, input_size=efficientnet.SCALING[_variant][2]
+    )
+
 
 def model_names() -> list[str]:
     return MODELS.names()
