@@ -1,0 +1,2 @@
+#!/bin/bash
+python -u -m robustart_tpu.solvers.multi_eval_decoder_resize_solver --config config_vit_base.yaml --evaluate "$@"

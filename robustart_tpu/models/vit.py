@@ -56,6 +56,10 @@ class Attention(nn.Module):
         scale = 1.0 / np.sqrt(head_dim)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        # expose attention maps for attention-rollout visualization
+        # (reference grad_cam.sh drives prototype tools/inference.py
+        # --attn_rollout; captured via mutable=['intermediates'])
+        self.sow("intermediates", "attn_weights", attn)
         attn = nn.Dropout(self.attention_dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)

@@ -1,0 +1,284 @@
+"""Generate the exprs/ experiment tree (reference exprs/; SURVEY.md §2.7).
+
+One config.yaml + run.sh/eval.sh per (architecture × technique), with the
+reference's YAML schema, adapted to this framework's solvers and with
+dataset paths parameterized via the ROBUSTART_DATA environment variable.
+Run: python tools/gen_exprs.py
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import yaml
+
+ROOT = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "exprs")
+
+DATA_ROOT = "${ROBUSTART_DATA:-/data/robustart}"
+
+BASELINE_MODELS = {
+    # dir -> (model.type, kwargs, per-device batch)
+    "resnet/resnet18": ("resnet18_official", {}, 32),
+    "resnet/resnet34": ("resnet34_official", {}, 32),
+    "resnet/resnet50": ("resnet50_official", {}, 32),
+    "resnet/resnet101": ("resnet101_official", {}, 32),
+    "resnet/resnet152": ("resnet152_official", {}, 32),
+    "wide_resnet/wide_resnet50_2": ("wide_resnet50_2", {}, 32),
+    "wide_resnet/wide_resnet101_2": ("wide_resnet101_2", {}, 32),
+    "resnext/resnext50_32x4d": ("resnext50_32x4d", {}, 32),
+    "resnext/resnext101_32x8d": ("resnext101_32x8d", {}, 32),
+    "densenet/densenet121": ("densenet121", {}, 32),
+    "densenet/densenet169": ("densenet169", {}, 32),
+    "densenet/densenet201": ("densenet201", {}, 32),
+    "mobilenet_v2/mobilenet_v2_x0_5": ("mobilenet_v2", {"scale": 0.5}, 32),
+    "mobilenet_v2/mobilenet_v2_x0_75": ("mobilenet_v2", {"scale": 0.75}, 32),
+    "mobilenet_v2/mobilenet_v2_x1_0": ("mobilenet_v2", {"scale": 1.0}, 32),
+    "mobilenet_v2/mobilenet_v2_x1_4": ("mobilenet_v2", {"scale": 1.4}, 32),
+    "shufflenetv2/shufflenetv2_0.5": ("shufflenet_v2_x0_5", {}, 32),
+    "shufflenetv2/shufflenetv2_1.0": ("shufflenet_v2_x1_0", {}, 32),
+    "shufflenetv2/shufflenetv2_1.5": ("shufflenet_v2_x1_5", {}, 32),
+    "shufflenetv2/shufflenetv2_2.0": ("shufflenet_v2_x2_0", {}, 32),
+    "regnetx/regnetx_400m": ("regnetx_400m", {}, 32),
+    "regnetx/regnetx_800m": ("regnetx_800m", {}, 32),
+    "regnetx/regnetx_1600m": ("regnetx_1600m", {}, 32),
+    "regnetx/regnetx_3200m": ("regnetx_3200m", {}, 32),
+    "regnetx/regnetx_6400m": ("regnetx_6400m", {}, 32),
+    "repvgg/repvgg_A0": ("repvgg_A0", {}, 32),
+    "repvgg/repvgg_B3": ("repvgg_B3", {}, 32),
+    "vit/vit_b16_224": (
+        "vit_b16_224",
+        {"drop_path": 0.0, "dropout": 0.0, "attention_dropout": 0.0,
+         "qkv_bias": True},
+        32,
+    ),
+    "vit/vit_b32_224": (
+        "vit_b32_224",
+        {"drop_path": 0.0, "dropout": 0.0, "attention_dropout": 0.0,
+         "qkv_bias": True},
+        32,
+    ),
+    "deit/deit_tiny_patch16_224": ("deit_tiny_b16_224", {}, 32),
+    "deit/deit_small_patch16_224": ("deit_small_b16_224", {}, 32),
+    "deit/deit_base_patch16_224": ("deit_base_b16_224", {}, 32),
+    "mlp_mixer/mixer_b16_224": ("mixer_b16_224", {"drop_path": 0.0}, 32),
+    "mlp_mixer/mixer_L16_224": ("mixer_L16_224", {"drop_path": 0.0}, 32),
+}
+for i in range(8):
+    BASELINE_MODELS[f"efficientnet/efficientnet_b{i}"] = (
+        f"efficientnet_b{i}", {}, 32,
+    )
+    BASELINE_MODELS[f"efficientnet/efficientnet_b{i}_nodrop"] = (
+        f"efficientnet_b{i}_nodrop", {}, 32,
+    )
+
+MOBILENET_V3_SCALES = [0.35, 0.5, 0.75, 1.0, 1.4]
+for s in MOBILENET_V3_SCALES:
+    BASELINE_MODELS[f"mobilenet_v3/mobilenet_v3_large_x{str(s).replace('.', '_')}"] = (
+        "mobilenet_v3", {"scale": s, "dropout": 0.0, "mode": "large"}, 32,
+    )
+
+
+def base_config(model_type, kwargs, batch_size, read_from="fs"):
+    return {
+        "model": {"type": model_type, "kwargs": {
+            **kwargs, "bn": {"use_sync_bn": False, "kwargs": {}},
+        }},
+        "dist": {"sync": False},
+        "seed": 0,
+        "optimizer": {
+            "type": "SGD",
+            "kwargs": {"momentum": 0.9, "nesterov": True,
+                       "weight_decay": 0.0001},
+        },
+        "lr_scheduler": {
+            "type": "CosineEpoch",
+            "kwargs": {"base_lr": 0.1, "warmup_lr": 0.4, "warmup_epoch": 2,
+                       "max_epoch": 100, "min_lr": 0.0},
+        },
+        "label_smooth": 0.1,
+        "ema": {"enable": True, "kwargs": {"decay": 0.9999}},
+        "data": {
+            "type": "imagenet",
+            "read_from": read_from,
+            "use_dali": False,
+            "batch_size": batch_size,
+            "num_workers": 8,
+            "input_size": 224,
+            "test_resize": 256,
+            "train": {
+                "root_dir": f"{DATA_ROOT}/images/train/",
+                "meta_file": f"{DATA_ROOT}/images/meta/train.txt",
+                "image_reader": {"type": "pil"},
+                "sampler": {"type": "distributed_iteration"},
+                "transforms": {"type": "STANDARD"},
+            },
+            "test": {
+                "root_dir": f"{DATA_ROOT}/images/val/",
+                "meta_file": f"{DATA_ROOT}/images/meta/val.txt",
+                "image_reader": {"type": "pil"},
+                "sampler": {"type": "distributed"},
+                "transforms": {"type": "ONECROP"},
+                "evaluator": {"type": "imagenet", "kwargs": {"topk": [1, 5]}},
+            },
+        },
+        "saver": {
+            "print_freq": 10,
+            "val_freq": 5000,
+            "save_many": False,
+            "save_dir": "checkpoints",
+        },
+    }
+
+
+RUN_SH = """#!/bin/bash
+# data-parallel training on all local TPU devices (replaces the reference's
+# `spring.submit run -n16 --gpu` NCCL launcher, resnet50/run.sh:1-2)
+python -u -m robustart_tpu.solvers.cls_solver --config config.yaml "$@"
+# resume: add --recover=checkpoints/ckpt.msgpack
+"""
+
+EVAL_SH = """#!/bin/bash
+python -u -m robustart_tpu.solvers.{solver} --config {config} --evaluate "$@"
+"""
+
+
+def write(path, content):
+    os.makedirs(osp.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        if isinstance(content, dict):
+            yaml.safe_dump(content, f, sort_keys=False)
+        else:
+            f.write(content)
+    if path.endswith(".sh"):
+        os.chmod(path, 0o755)
+
+
+def main():
+    # robust_baseline_exp
+    for rel, (mtype, kwargs, bs) in BASELINE_MODELS.items():
+        d = osp.join(ROOT, "robust_baseline_exp", rel)
+        write(osp.join(d, "config.yaml"), base_config(mtype, kwargs, bs))
+        write(osp.join(d, "run.sh"), RUN_SH)
+
+    # smoke-test configs (reference exprs/robust_baseline_exp/Test/)
+    test_cfg = base_config("resnet18_official", {}, 8, read_from="fake")
+    test_cfg["data"]["fake_size"] = 64
+    test_cfg["lr_scheduler"]["kwargs"]["max_epoch"] = 1
+    write(osp.join(ROOT, "robust_baseline_exp", "Test", "resnet18",
+                   "config.yaml"), test_cfg)
+    write(osp.join(ROOT, "robust_baseline_exp", "Test", "resnet18", "run.sh"),
+          RUN_SH)
+
+    # eval loops (reference exprs/exp/)
+    loop_models = {
+        "vit_base": ("vit_base", {"qkv_bias": True}),
+        "resnet50": ("resnet50_official", {}),
+        "mixer_b16": ("mixer_b16_224", {}),
+    }
+    loops = {
+        "imagenet-a_o-loop": ("imgnet_a_o_eval_solver", {"imagenet_a&o": True}),
+        "imagenet-p-loop-mini": ("imgnet_p_eval_solver", {"imagenet_p": True}),
+        "imagenet_c_loop_mini": (
+            "multi_eval_solver",
+            {"imagenet_c": True, "imagenet_c_online": True},
+        ),
+        "imagenet_s_loop": (
+            "multi_eval_decoder_resize_solver",
+            {"imagenet_s": True, "save_acc_var_neg": True,
+             "limit_samples": 1000},
+        ),
+    }
+    for loop, (solver, test_flags) in loops.items():
+        for mname, (mtype, kwargs) in loop_models.items():
+            cfg = base_config(mtype, kwargs, 64)
+            cfg["data"]["test"].update(test_flags)
+            cfg["data"]["test"]["transforms"] = {
+                "type": "JUSTNORM" if loop == "imagenet-p-loop-mini" else "ONECROP"
+            }
+            cfg["saver"]["pretrain"] = {
+                "path": f"{DATA_ROOT}/ckpt/{mname}.pth.tar",
+                "ignore": {"key": [], "model": []},
+            }
+            cfg["saver"]["results_dir"] = f"results/{loop}/{mname}"
+            fname = f"config_{mname}.yaml"
+            write(osp.join(ROOT, "exp", loop, fname),
+                  cfg)
+        write(
+            osp.join(ROOT, "exp", loop, "eval.sh"),
+            EVAL_SH.format(solver=solver, config="config_vit_base.yaml"),
+        )
+
+    # nips_benchmark technique ablations (reference exprs/nips_benchmark/)
+    techniques = {
+        "augmentation": {"mixup": 0.2, "cutmix": 1.0},
+        "ema": {"ema": {"enable": True, "kwargs": {"decay": 0.9999}}},
+        "label_smooth": {"label_smooth": 0.1},
+        "pgd_adv_train": {
+            "adv_train": {
+                "enable": True, "attack": "pgd_linf",
+                "kwargs": {"eps": 0.01569, "rel_stepsize": 0.333, "steps": 3},
+            },
+            "dist": {"sync": True},
+        },
+        "new_adv_train": {
+            "adv_train": {
+                "enable": True, "attack": "pgd_linf",
+                "kwargs": {"eps": 0.01569, "rel_stepsize": 0.333, "steps": 3},
+            },
+            "optimizer": {
+                "type": "AdamW",
+                "kwargs": {"betas": [0.9, 0.999], "weight_decay": 0.05},
+                "no_wd": True,
+            },
+        },
+    }
+    for tech, overrides in techniques.items():
+        for arch, (mtype, kwargs, bs) in [
+            ("resnet50", ("resnet50_official", {}, 32)),
+            ("vit_base", ("vit_base", {"qkv_bias": True}, 32)),
+        ]:
+            cfg = base_config(mtype, kwargs, bs)
+            cfg.update({k: v for k, v in overrides.items()})
+            d = osp.join(ROOT, "nips_benchmark", tech, arch)
+            write(osp.join(d, "config.yaml"), cfg)
+            solver = (
+                "adv_cls_solver_train_pgd" if "adv" in tech else "cls_solver"
+            )
+            write(
+                osp.join(d, "run.sh"),
+                f"#!/bin/bash\npython -u -m robustart_tpu.solvers.{solver} "
+                "--config config.yaml \"$@\"\n",
+            )
+
+    # adversarial benchmark grid (reference batch_eval_adv/eval.sh:9-13)
+    grid = [
+        ("fgsm", [0.5, 2, 8]), ("pgd_linf", [0.5, 2, 8]),
+        ("autoattack_linf", [0.5, 2, 8]), ("mim_linf", [0.5, 2, 8]),
+        ("pgd_l2", [0.5, 2, 8]), ("pgd_l1", [100, 400, 1600]),
+    ]
+    lines = [
+        "#!/bin/bash",
+        "# full attack x eps grid (reference batch_eval_adv/eval.sh:9-13)",
+        "SRC=${1:?src model name}; SRC_PATH=${2:?src ckpt}",
+        "TGT=${3:-$SRC}; TGT_PATH=${4:-$SRC_PATH}",
+    ]
+    for attack, epss in grid:
+        for eps in epss:
+            lines.append(
+                "python -u -m robustart_tpu.solvers.benchmark_eval_adv "
+                "--config config.yaml --src_name $SRC --src_path $SRC_PATH "
+                "--tgt_name $TGT --tgt_path $TGT_PATH "
+                f"--attack {attack} --eps {eps}"
+            )
+    adv_dir = osp.join(ROOT, "nips_benchmark", "batch_eval_adv")
+    cfg = base_config("resnet50_official", {}, 32)
+    write(osp.join(adv_dir, "config.yaml"), cfg)
+    write(osp.join(adv_dir, "eval.sh"), "\n".join(lines) + "\n")
+
+    count = sum(len(files) for _, _, files in os.walk(ROOT))
+    print(f"generated {count} files under {ROOT}")
+
+
+if __name__ == "__main__":
+    main()
