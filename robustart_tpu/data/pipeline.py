@@ -60,6 +60,32 @@ def build_dataloader(
     )
     transform = build_transform(preset, input_size, test_resize)
 
+    # native C++ decode pool (the DALI replacement): meta-file JPEG datasets
+    # with the ONECROP eval transform
+    if (
+        data_cfg.get("use_native_loader")
+        and preset == "ONECROP"
+        and hasattr(dataset, "metas")
+        and all(m[0].lower().endswith((".jpg", ".jpeg")) for m in dataset.metas[:16])
+    ):
+        from robustart_tpu.data.native_loader import NativeDataLoader, native_available
+
+        if native_available():
+            import os.path as _osp
+
+            paths = [_osp.join(dataset.root_dir, m[0]) for m in dataset.metas]
+            return NativeDataLoader(
+                paths,
+                dataset.labels,
+                np.asarray(indices),
+                batch_size=batch_size,
+                input_size=input_size,
+                test_resize=test_resize,
+                mode="onecrop",
+                num_threads=int(data_cfg.get("num_workers", 8)),
+                queue_cap=int(data_cfg.get("prefetch_factor", 4)),
+            )
+
     return DataLoader(
         dataset,
         np.asarray(indices),

@@ -1,0 +1,116 @@
+"""CLIP ViT-L/14 visual tower as an ImageNet classifier.
+
+Parity names: ``clip_vit_l_14`` and the robust fine-tunes
+``clip_vit_l_14_fare2_clip`` / ``clip_vit_l_14_tecoa2_clip`` (reference
+exprs/exp/imagenet-a_o-loop/config_clip_*.yaml; SURVEY.md §2.7 — the
+reference evaluates robust CLIP checkpoints, FARE²/TeCoA², as ImageNet
+classifiers). Architecture: OpenAI CLIP visual transformer — patch 14,
+width 1024, depth 24, heads 16, pre-LN, class embedding, QuickGELU, final
+projection to the 768-d joint space.
+
+Classification head: either a learned ``num_classes`` Dense (linear probe) or
+fixed zero-shot weights (the text-encoder class embeddings) loaded via
+``zero_shot_weights`` from a checkpoint. CLIP normalization constants are
+wired through the model registry metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * nn.sigmoid(1.702 * x)
+
+
+class CLIPEncoderBlock(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = 1.0 / np.sqrt(head_dim)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+        y = nn.Dense(c, dtype=self.dtype, name="out_proj")(y)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
+        y = nn.Dense(4 * c, dtype=self.dtype, name="mlp_fc")(y)
+        y = quick_gelu(y)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_proj")(y)
+        return x + y
+
+
+class CLIPVisionClassifier(nn.Module):
+    patch_size: int = 14
+    width: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    embed_dim: int = 768
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b = x.shape[0]
+        x = nn.Conv(
+            self.width, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            use_bias=False, dtype=self.dtype, name="patch_embed",
+        )(x)
+        x = x.reshape(b, -1, self.width)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(self.width**-0.5),
+            (self.width,), jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, self.width)).astype(x.dtype), x], 1
+        )
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(self.width**-0.5),
+            (x.shape[1], self.width), jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
+        for i in range(self.depth):
+            x = CLIPEncoderBlock(self.num_heads, dtype=self.dtype,
+                                 name=f"resblock{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
+        proj = self.param(
+            "proj", nn.initializers.normal(self.width**-0.5),
+            (self.width, self.embed_dim), jnp.float32,
+        )
+        feats = (x.astype(jnp.float32) @ proj)
+        # zero-shot style head: L2-normalized features against class weights
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        class_w = self.param(
+            "zero_shot_weights", nn.initializers.normal(0.02),
+            (self.embed_dim, self.num_classes), jnp.float32,
+        )
+        class_w_n = class_w / jnp.linalg.norm(class_w, axis=0, keepdims=True)
+        logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(np.log(1 / 0.07)), ()
+        )
+        return jnp.exp(logit_scale) * (feats @ class_w_n)
+
+
+def clip_vit_l_14(**kw):
+    kw.pop("bn", None)
+    return CLIPVisionClassifier(**kw)
+
+
+# robust fine-tunes share the architecture; weights differ per checkpoint
+clip_vit_l_14_fare2_clip = clip_vit_l_14
+clip_vit_l_14_tecoa2_clip = clip_vit_l_14

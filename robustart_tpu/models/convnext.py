@@ -1,0 +1,116 @@
+"""ConvNeXt / ConvNeXtV2 (base), incl. the reference's ``_cvst`` aliases.
+
+Parity names: ``convnext_base``, ``convnextv2_base``, ``convnext_base_cvst``
+(reference exprs/exp/imagenet-a_o-loop configs; SURVEY.md §2.7). Blocks:
+7×7 depthwise conv → LN → pointwise 4× MLP with GELU; V1 uses LayerScale
+(gamma), V2 replaces it with GRN inside the MLP (Woo et al., 2023).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from robustart_tpu.models.layers import DropPath
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXtV2)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        gx = jnp.sqrt(jnp.sum(x**2, axis=(1, 2), keepdims=True) + 1e-12)
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return gamma * (x * nx) + beta + x
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    drop_path: float = 0.0
+    layer_scale_init: float = 1e-6  # <=0 disables LayerScale (V2)
+    use_grn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        shortcut = x
+        x = nn.Conv(
+            self.dim, (7, 7), padding=[(3, 3), (3, 3)],
+            feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        if self.use_grn:
+            x = GRN(4 * self.dim, name="grn")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        if self.layer_scale_init > 0:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init),
+                (self.dim,),
+            )
+            x = x * gamma
+        return shortcut + DropPath(self.drop_path)(x, deterministic=deterministic)
+
+
+class ConvNeXt(nn.Module):
+    depths: Sequence[int] = (3, 3, 27, 3)
+    dims: Sequence[int] = (128, 256, 512, 1024)
+    num_classes: int = 1000
+    drop_path: float = 0.0
+    use_grn: bool = False  # True = ConvNeXtV2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        deterministic = not train
+        total = sum(self.depths)
+        bi = 0
+        for si, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if si == 0:
+                x = nn.Conv(
+                    dim, (4, 4), strides=(4, 4), padding="VALID",
+                    dtype=self.dtype, name="stem_conv",
+                )(x)
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
+            else:
+                x = nn.LayerNorm(
+                    epsilon=1e-6, dtype=self.dtype, name=f"downsample_norm{si}"
+                )(x)
+                x = nn.Conv(
+                    dim, (2, 2), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name=f"downsample_conv{si}",
+                )(x)
+            for di in range(depth):
+                x = ConvNeXtBlock(
+                    dim,
+                    drop_path=self.drop_path * bi / max(total - 1, 1),
+                    layer_scale_init=0.0 if self.use_grn else 1e-6,
+                    use_grn=self.use_grn,
+                    dtype=self.dtype,
+                    name=f"stage{si}_block{di}",
+                )(x, deterministic=deterministic)
+                bi += 1
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="head_norm")(
+            x.astype(jnp.float32)
+        )
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+def convnext_base(**kw):
+    kw.pop("bn", None)
+    return ConvNeXt(**kw)
+
+
+def convnextv2_base(**kw):
+    kw.pop("bn", None)
+    return ConvNeXt(use_grn=True, **kw)

@@ -102,6 +102,28 @@ _register_family(
     }
 )
 _register_family(dict(regnet.REGNET_FACTORIES))
+
+from robustart_tpu.models import clip_vit, convnext, swin  # noqa: E402
+
+_register_family(
+    {
+        "convnext_base": convnext.convnext_base,
+        "convnext_base_cvst": convnext.convnext_base,  # CvSt robust ckpts
+        "convnextv2_base": convnext.convnextv2_base,
+        "swin_tiny": swin.swin_tiny,
+        "swin_small": swin.swin_small,
+        "swin_base": swin.swin_base,
+        "vit_base_cvst": vit.vit_b16_224,  # CvSt robust ViT checkpoints
+    }
+)
+_register_family(
+    {
+        "clip_vit_l_14": clip_vit.clip_vit_l_14,
+        "clip_vit_l_14_fare2_clip": clip_vit.clip_vit_l_14_fare2_clip,
+        "clip_vit_l_14_tecoa2_clip": clip_vit.clip_vit_l_14_tecoa2_clip,
+    },
+    mean_std=(CLIP_MEAN, CLIP_STD),
+)
 for _name, _factory in efficientnet.EFFICIENTNET_FACTORIES.items():
     _variant = _name.replace("efficientnet_", "").replace("_nodrop", "")
     _register_family(

@@ -1,0 +1,200 @@
+"""Swin Transformer (tiny/small/base) — shifted-window attention.
+
+Parity names: ``swin_base`` etc. (reference exprs/exp/swin/ batch-eval
+configs; SURVEY.md §2.7). TPU notes: window partition is pure
+reshape/transpose (free layout ops), shifted windows use ``jnp.roll`` with a
+precomputed static attention mask per stage resolution, so every block is a
+batched (nW·B, 49, C) matmul stack on the MXU with no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from robustart_tpu.models.layers import DropPath
+
+
+def window_partition(x: jax.Array, ws: int) -> jax.Array:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jax.Array, ws: int, h: int, w: int) -> jax.Array:
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    coords_flat = coords.reshape(2, -1)
+    rel = coords_flat[:, :, None] - coords_flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)  # (ws², ws²)
+
+
+@functools.lru_cache(maxsize=None)
+def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """(nW, ws², ws²) additive mask for shifted-window attention."""
+    img_mask = np.zeros((1, h, w, 1))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wslice in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, hs, wslice, :] = cnt
+            cnt += 1
+    mask_windows = window_partition(jnp.asarray(img_mask), ws)
+    mask_windows = np.asarray(mask_windows).reshape(-1, ws * ws)
+    attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: np.ndarray | None = None) -> jax.Array:
+        bnw, n, c = x.shape
+        ws = self.window_size
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = 1.0 / np.sqrt(head_dim)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+
+        rpb_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        idx = jnp.asarray(relative_position_index(ws).reshape(-1))
+        bias = rpb_table[idx].reshape(n, n, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
+            attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bnw, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(bnw, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    resolution: int
+    window_size: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, h, w, c = x.shape
+        ws = min(self.window_size, self.resolution)
+        shift = self.shift if ws < self.resolution else 0
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        windows = window_partition(y, ws)
+        mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+        attn_out = WindowAttention(
+            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
+        )(windows, mask)
+        y = window_reverse(attn_out, ws, h, w)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        x = shortcut + DropPath(self.drop_path)(y, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + DropPath(self.drop_path)(y, deterministic=deterministic)
+
+
+class SwinTransformer(nn.Module):
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window_size: int = 7
+    num_classes: int = 1000
+    drop_path: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        deterministic = not train
+        b = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim, (4, 4), strides=(4, 4), padding="VALID",
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+        total = sum(self.depths)
+        bi = 0
+        res = x.shape[1]
+        for si, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            dim = self.embed_dim * (2**si)
+            if si > 0:
+                # patch merging: 2x2 concat -> LN -> Dense(2*dim)
+                bsz, h, w, c = x.shape
+                x = x.reshape(bsz, h // 2, 2, w // 2, 2, c)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    bsz, h // 2, w // 2, 4 * c
+                )
+                x = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype, name=f"merge_norm{si}"
+                )(x)
+                x = nn.Dense(
+                    dim, use_bias=False, dtype=self.dtype,
+                    name=f"merge_reduction{si}",
+                )(x)
+                res = res // 2
+            for di in range(depth):
+                x = SwinBlock(
+                    dim, heads, resolution=res, window_size=self.window_size,
+                    shift=0 if di % 2 == 0 else self.window_size // 2,
+                    drop_path=self.drop_path * bi / max(total - 1, 1),
+                    dtype=self.dtype, name=f"stage{si}_block{di}",
+                )(x, deterministic=deterministic)
+                bi += 1
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+def swin_tiny(**kw):
+    kw.pop("bn", None)
+    return SwinTransformer(embed_dim=96, depths=(2, 2, 6, 2),
+                           num_heads=(3, 6, 12, 24), **kw)
+
+
+def swin_small(**kw):
+    kw.pop("bn", None)
+    return SwinTransformer(embed_dim=96, depths=(2, 2, 18, 2),
+                           num_heads=(3, 6, 12, 24), **kw)
+
+
+def swin_base(**kw):
+    kw.pop("bn", None)
+    return SwinTransformer(embed_dim=128, depths=(2, 2, 18, 2),
+                           num_heads=(4, 8, 16, 32), **kw)
