@@ -1,0 +1,94 @@
+"""Parallelism tests on the 8-device CPU mesh: DP training step equivalence,
+TP param sharding, profiling utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from robustart_tpu.core.dist import get_mesh
+from robustart_tpu.core.profiling import PhaseTimer, annotate
+from robustart_tpu.models import get_model
+from robustart_tpu.parallel import (
+    shard_batch_dp,
+    shard_params,
+    shard_train_state,
+    tp_param_spec,
+)
+
+
+def test_tp_spec_rule():
+    spec = tp_param_spec(
+        (jax.tree_util.DictKey("qkv"), jax.tree_util.DictKey("kernel")),
+        np.zeros((64, 192)),
+    )
+    assert spec == P(None, "model")
+    spec = tp_param_spec(
+        (jax.tree_util.DictKey("bn"), jax.tree_util.DictKey("scale")),
+        np.zeros((64,)),
+    )
+    assert spec == P()
+
+
+def test_dp_train_step_matches_single_device():
+    """Sharded global-batch gradient == unsharded gradient (psum sanity)."""
+    mesh = get_mesh(("data",))
+    module = get_model("deit_tiny_b16_224", num_classes=8)
+    x = np.random.default_rng(0).uniform(0, 1, (8, 224, 224, 3)).astype(np.float32)
+    y = (np.arange(8) % 8).astype(np.int32)
+    variables = module.init({"params": jax.random.key(0)}, jnp.asarray(x[:1]),
+                            train=False)
+
+    def loss_fn(params, xb, yb):
+        logits = module.apply({"params": params}, xb, train=False)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    g_single = grad_fn(variables["params"], jnp.asarray(x), jnp.asarray(y))
+
+    batch = shard_batch_dp({"x": x, "y": y}, mesh)
+    g_sharded = grad_fn(variables["params"], batch["x"], batch["y"])
+
+    a = jax.tree.leaves(g_single)[0]
+    b = jax.tree.leaves(g_sharded)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tp_sharded_forward_matches_replicated():
+    mesh = get_mesh(("data", "model"), mesh_shape=(4, 2))
+    module = get_model("mixer_b16_224", num_classes=8)
+    x = np.random.default_rng(1).uniform(0, 1, (4, 224, 224, 3)).astype(np.float32)
+    variables = module.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                            train=False)
+    ref = module.apply(variables, jnp.asarray(x), train=False)
+
+    with mesh:
+        params_tp = shard_params(variables["params"], mesh)
+        out = jax.jit(
+            lambda p, xb: module.apply({"params": p}, xb, train=False)
+        )(params_tp, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=1e-4)
+
+
+def test_shard_train_state():
+    mesh = get_mesh(("data", "model"), mesh_shape=(4, 2))
+    state = {
+        "step": jnp.zeros((), jnp.int32),
+        "params": {"dense": {"kernel": jnp.zeros((16, 32))}},
+    }
+    sharded = shard_train_state(state, mesh)
+    assert sharded["params"]["dense"]["kernel"].sharding.spec == P(None, "model")
+
+
+def test_phase_timer_and_annotation():
+    timer = PhaseTimer()
+    with timer.phase("fwd"):
+        with annotate("region"):
+            _ = jnp.ones((8, 8)).sum()
+    with timer.phase("fwd"):
+        pass
+    report = timer.report()
+    assert "fwd" in report and timer.counts["fwd"] == 2
