@@ -24,37 +24,36 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_A100_IMG_PER_SEC = 2500.0
-BATCH = 256
+BATCH = 512
 ITERS = 20
 WARMUP = 3
+GAUSSIAN_SIGMA_SEV3 = 0.18  # reference severity-3 constant (corruptions.py:123)
 
 
 def main() -> None:
     from robustart_tpu.models import create_classifier
-    from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
+    from robustart_tpu.ops.pallas_noise import fused_noise_normalize
 
     clf = create_classifier(
         "resnet50_official", rng=0, input_size=224, dtype=jnp.bfloat16
     )
     variables = clf.variables
-    corrupt = CORRUPTIONS["gaussian_noise"]
-
-    def one_batch(variables, images_u8, key):
-        x01 = images_u8.astype(jnp.float32) / 255.0
-        keys = jax.random.split(key, x01.shape[0])
-        corrupted = jax.vmap(lambda img, k: corrupt(img, k, 3))(x01, keys)
-        # quantize through uint8 like the stored ImageNet-C datasets
-        q = jnp.floor(jnp.clip(corrupted, 0.0, 1.0) * 255.0) / 255.0
-        return clf.apply_fn(variables, q, train=False)
+    module = clf.module
 
     # The relay transport makes per-call timing unreliable (completion is only
     # observable at host fetch), so the whole measured run is ONE XLA program:
     # a fori_loop of `iters` corrupted-eval batches accumulating a checksum,
-    # fetched as a single scalar.
+    # fetched as a single scalar. Pre-model chain (noise + uint8 quantize +
+    # normalize) is the fused Pallas kernel with on-chip PRNG.
     @jax.jit
-    def megastep(variables, images_u8, key, iters):
+    def megastep(variables, images_u8, iters):
         def body(i, acc):
-            logits = one_batch(variables, images_u8, jax.random.fold_in(key, i))
+            x = fused_noise_normalize(
+                images_u8, i, noise="gaussian_noise",
+                sigma=GAUSSIAN_SIGMA_SEV3,
+                mean=tuple(clf.mean), std=tuple(clf.std),
+            )
+            logits = module.apply(variables, x, train=False)
             return acc + logits.sum()
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
@@ -62,12 +61,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, size=(BATCH, 224, 224, 3), dtype=np.uint8)
     images = jax.device_put(images)
-    key = jax.random.key(0)
 
-    float(megastep(variables, images, key, WARMUP))  # compile + warmup
+    float(megastep(variables, images, WARMUP))  # compile + warmup
 
     t0 = time.perf_counter()
-    checksum = float(megastep(variables, images, key, ITERS))
+    checksum = float(megastep(variables, images, ITERS))
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
 
