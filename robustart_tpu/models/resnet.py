@@ -111,27 +111,48 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Torch-structured ResNet in NHWC."""
+    """Torch-structured ResNet in NHWC.
+
+    ``stem_s2d`` applies the space-to-depth transform to the 7×7/2 stem (the
+    MLPerf TPU trick): a 3-channel 224² conv uses 3/128 of the MXU's input
+    lanes; rewriting it as an exactly-equivalent 4×4 conv on a (112, 112, 12)
+    space-to-depth input quadruples the stem's MXU utilization. The kernel
+    parameter keeps its (7, 7, 3, 64) torch-compatible shape — the zero-pad +
+    rearrange happens inside the forward, so checkpoints convert unchanged.
+    """
 
     block: Callable[..., nn.Module]
     stage_sizes: Sequence[int]
     num_classes: int = 1000
     groups: int = 1
     base_width: int = 64
+    stem_s2d: bool = True
     dtype: Any = jnp.float32
+
+    def _stem(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("conv1_kernel", conv_kernel_init, (7, 7, 3, 64))
+        kernel = kernel.astype(self.dtype)
+        if not self.stem_s2d or x.shape[1] % 2 or x.shape[2] % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel, (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        # out[i] = Σ_{k=0..6} w[k]·x[2i+k−3] = Σ_{k=0..7} w'[k]·x[2i+k−4]
+        # with w' = [0, w]; split k = 2m+d → 4 block taps, phase-d channels
+        b, h, w_, _ = x.shape
+        x_s2d = x.reshape(b, h // 2, 2, w_ // 2, 2, 3)
+        x_s2d = x_s2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w_ // 2, 12)
+        k_pad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8,8,3,64)
+        k_s2d = k_pad.reshape(4, 2, 4, 2, 3, 64)
+        k_s2d = k_s2d.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, 64)
+        return jax.lax.conv_general_dilated(
+            x_s2d.astype(self.dtype), k_s2d, (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=conv_kernel_init,
-            name="conv1",
-        )(x)
+        x = self._stem(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

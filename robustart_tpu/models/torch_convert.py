@@ -154,7 +154,9 @@ def convert_state_dict(
         collection, _, param_path = name.partition("/")
         leaf = param_path.rsplit("/", 1)[-1]
         base = param_path.rsplit("/", 1)[0] if "/" in param_path else ""
-        if leaf in ("cls_token", "pos_embed"):
+        if leaf == "conv1_kernel":  # ResNet s2d stem keeps a flat param
+            torch_key = "conv1.weight"
+        elif leaf in ("cls_token", "pos_embed"):
             torch_key = leaf
         else:
             suffix = _SUFFIX_MAP.get(leaf)
