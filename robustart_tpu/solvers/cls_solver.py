@@ -107,6 +107,28 @@ class ClsSolver(Solver):
         module = clf.module
         mean, std = clf.mean, clf.std
 
+        # reference `lms{enable, kwargs{limit}}` is GPU large-model-support
+        # CPU offload (config_vit_base.yaml:37-40); the TPU-native equivalent
+        # is rematerialization — trade recompute for HBM
+        use_remat = bool((cfg.get("lms") or {}).get("enable", False))
+
+        def apply_train(variables, x, rngs):
+            fn = module.apply
+            if use_remat:
+                fn = jax.checkpoint(
+                    lambda v, xx: module.apply(
+                        v, xx, train=True, mutable=["batch_stats"], rngs=rngs
+                    )
+                    if "batch_stats" in variables
+                    else module.apply(v, xx, train=True, rngs=rngs)
+                )
+                return fn(variables, x)
+            if "batch_stats" in variables:
+                return module.apply(
+                    variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+                )
+            return module.apply(variables, x, train=True, rngs=rngs)
+
         # adversarial training: generate attacks in eval mode INSIDE the same
         # jitted step (reference adv_cls_solver_train_pgd; the CIFAR mirror's
         # denormalize→attack→renormalize dance at cifar10/code/train.py:104-111
@@ -146,15 +168,12 @@ class ClsSolver(Solver):
                 variables = {"params": params}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
-                    out, updates = module.apply(
-                        variables, x, train=True, mutable=["batch_stats"],
-                        rngs={"dropout": rng_drop},
+                    out, updates = apply_train(
+                        variables, x, {"dropout": rng_drop}
                     )
                     new_stats = updates["batch_stats"]
                 else:
-                    out = module.apply(
-                        variables, x, train=True, rngs={"dropout": rng_drop}
-                    )
+                    out = apply_train(variables, x, {"dropout": rng_drop})
                     new_stats = state.batch_stats
                 return smoothed_cross_entropy(out, soft), (out, new_stats)
 
@@ -297,7 +316,22 @@ class ClsSolver(Solver):
 def main(argv=None):
     parser = standard_solver_argparser("robustart cls_solver")
     args = parser.parse_args(argv)
-    solver = ClsSolver(args.config, evaluate_only=args.evaluate)
+    from robustart_tpu.core.config import iter_eval_list, load_config
+
+    cfg = load_config(args.config)
+    if args.evaluate and cfg.get("eval_list"):
+        # batch evaluation of many checkpoints from one config (reference
+        # README.md:70-91, exprs/exp/swin/config.yaml:8-10)
+        results = []
+        for i, sub in enumerate(iter_eval_list(cfg)):
+            sub.setdefault("saver", {})
+            sub.saver.results_path = sub.get_path(
+                "saver.results_path", f"results/eval_{i}/results.txt.all"
+            )
+            solver = ClsSolver(sub, evaluate_only=True)
+            results.append(solver.evaluate(ckpt_path=args.ckpt_filePath))
+        return results
+    solver = ClsSolver(cfg, evaluate_only=args.evaluate)
     if args.evaluate:
         return solver.evaluate(ckpt_path=args.ckpt_filePath)
     solver.train(recover=args.recover)

@@ -170,6 +170,27 @@ def main():
     write(osp.join(ROOT, "robust_baseline_exp", "Test", "resnet18", "run.sh"),
           RUN_SH)
 
+    # ImageNet-21k pretraining (reference imagenet_21k_exp: num_classes 21841,
+    # ranked_iteration sampler — 21k_resnet50/config.yaml:4,53)
+    cfg21k = base_config("resnet50_official", {"num_classes": 21841}, 32)
+    cfg21k["data"]["train"]["sampler"]["type"] = "ranked_iteration"
+    d = osp.join(ROOT, "robust_baseline_exp", "imagenet_21k_exp", "21k_resnet50")
+    write(osp.join(d, "config.yaml"), cfg21k)
+    write(osp.join(d, "run.sh"), RUN_SH)
+
+    # batch eval via eval_list (reference exprs/exp/swin/config.yaml:8-10)
+    swin_cfg = base_config("swin_base", {}, 64)
+    swin_cfg["eval_list"] = [
+        {"saver": {"pretrain": {"path": f"{DATA_ROOT}/ckpt/swin_base.pth"},
+                   "results_path": "results/swin/base/results.txt.all"}},
+        {"model": {"type": "swin_tiny"},
+         "saver": {"pretrain": {"path": f"{DATA_ROOT}/ckpt/swin_tiny.pth"},
+                   "results_path": "results/swin/tiny/results.txt.all"}},
+    ]
+    write(osp.join(ROOT, "exp", "swin", "config.yaml"), swin_cfg)
+    write(osp.join(ROOT, "exp", "swin", "eval.sh"),
+          EVAL_SH.format(solver="cls_solver", config="config.yaml"))
+
     # eval loops (reference exprs/exp/)
     loop_models = {
         "vit_base": ("vit_base", {"qkv_bias": True}),
