@@ -137,32 +137,37 @@ class AutoAttack:
             if not robust.any():
                 break
             t0 = time.time()
-            for lo in range(0, n, bs):
-                hi = min(lo + bs, n)
-                sel = slice(lo, hi)
-                if not robust[sel].any():
-                    continue
-                key, sub = jax.random.split(key)
-                x_try = self._run_one(
-                    attack, x[sel], y[sel], sub
+            # worklist compaction: gather still-robust samples into dense
+            # bs-sized chunks (pad the tail by repetition) so late cascade
+            # stages pay only for surviving samples while shapes stay static
+            # — the XLA-friendly form of the reference's shrinking index set
+            # (autoattack.py:116-137; SURVEY.md §7 hard-part #2)
+            idx_robust = np.nonzero(robust)[0]
+            for lo in range(0, len(idx_robust), bs):
+                sel = idx_robust[lo : lo + bs]
+                pad = bs - len(sel) if len(idx_robust) > bs else 0
+                sel_p = (
+                    np.concatenate([sel, np.repeat(sel[-1:], pad)])
+                    if pad
+                    else sel
                 )
+                key, sub = jax.random.split(key)
+                x_try = self._run_one(attack, x[sel_p], y[sel_p], sub)
+                x_try = x_try[: len(sel)]
                 pred = self._predict(x_try)
-                newly_broken = (pred != y[sel]) & robust[sel]
+                newly_broken = pred != y[sel]
                 # sanity: stay inside the eps-ball, no NaNs (reference
                 # autoattack.py:199-209)
                 delta = x_try - x[sel]
                 if self.norm == "Linf":
-                    norms = np.abs(delta).reshape(hi - lo, -1).max(1)
+                    norms = np.abs(delta).reshape(len(sel), -1).max(1)
                 else:
-                    norms = np.sqrt(
-                        (delta.reshape(hi - lo, -1) ** 2).sum(1)
-                    )
+                    norms = np.sqrt((delta.reshape(len(sel), -1) ** 2).sum(1))
                 ok = (norms <= self.eps * 1.001) & np.isfinite(
-                    x_try.reshape(hi - lo, -1)
+                    x_try.reshape(len(sel), -1)
                 ).all(1)
                 accept = newly_broken & ok
-                x_adv[sel][accept] = x_try[accept]  # noqa: B909 (copy below)
-                idx = np.nonzero(accept)[0] + lo
+                idx = sel[accept]
                 x_adv[idx] = x_try[accept]
                 robust[idx] = False
             if self.verbose:
