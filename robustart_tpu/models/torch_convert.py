@@ -107,10 +107,91 @@ def _mixer_torch_name(flax_name: str) -> str | None:
     return n
 
 
+def _mobilenet_v2_torch_name(flax_name: str) -> str | None:
+    """torchvision mobilenet_v2: features.0 stem, features.1-17 inverted
+    residuals (Sequential 'conv' with index layout depending on expand_ratio),
+    features.18 head conv, classifier.1."""
+    n = flax_name
+    m = re.match(r"^ConvBNAct_(\d)/(Conv_0|BatchNorm_0)$", n)
+    if m:
+        feat = "0" if m.group(1) == "0" else "18"
+        sub = "0" if m.group(2) == "Conv_0" else "1"
+        return f"features.{feat}.{sub}"
+    if n == "classifier":
+        return "classifier.1"
+    m = re.match(r"^InvertedResidualV2_(\d+)/ConvBNAct_(\d)/(Conv_0|BatchNorm_0)$", n)
+    if m:
+        block = int(m.group(1))
+        part = int(m.group(2))
+        is_conv = m.group(3) == "Conv_0"
+        feat = block + 1
+        if block == 0:  # expand_ratio == 1: [dw(0.0,0.1), proj(1), bn(2)]
+            layout = {
+                (0, True): "conv.0.0", (0, False): "conv.0.1",
+                (1, True): "conv.1", (1, False): "conv.2",
+            }
+        else:  # [expand(0.0,0.1), dw(1.0,1.1), proj(2), bn(3)]
+            layout = {
+                (0, True): "conv.0.0", (0, False): "conv.0.1",
+                (1, True): "conv.1.0", (1, False): "conv.1.1",
+                (2, True): "conv.2", (2, False): "conv.3",
+            }
+        return f"features.{feat}.{layout[(part, is_conv)]}"
+    return n.replace("/", ".")
+
+
+def _densenet_torch_name(flax_name: str) -> str | None:
+    """torchvision densenet: features.{conv0,norm0,denseblockB.denselayerL.
+    {norm1,conv1,norm2,conv2},transitionB.{norm,conv},norm5}, classifier."""
+    n = flax_name
+    if n in ("conv0", "norm0", "norm5"):
+        return f"features.{n}"
+    if n == "classifier":
+        return "classifier"
+    m = re.match(
+        r"^denseblock(\d+)_layer(\d+)/_BNReLUConv_(\d)/(Conv_0|BatchNorm_0)$", n
+    )
+    if m:
+        b, l, half = m.group(1), m.group(2), int(m.group(3))
+        kind = "conv" if m.group(4) == "Conv_0" else "norm"
+        return f"features.denseblock{b}.denselayer{l}.{kind}{half + 1}"
+    m = re.match(r"^transition(\d+)/(Conv_0|BatchNorm_0)$", n)
+    if m:
+        kind = "conv" if m.group(2) == "Conv_0" else "norm"
+        return f"features.transition{m.group(1)}.{kind}"
+    return n.replace("/", ".")
+
+
+def _convnext_torch_name(flax_name: str) -> str | None:
+    """facebook ConvNeXt: downsample_layers.i.{0,1}, stages.i.j.{dwconv,norm,
+    pwconv1,pwconv2,gamma}, norm, head."""
+    n = flax_name
+    if n == "stem_conv":
+        return "downsample_layers.0.0"
+    if n == "stem_norm":
+        return "downsample_layers.0.1"
+    m = re.match(r"^downsample_norm(\d)$", n)
+    if m:
+        return f"downsample_layers.{m.group(1)}.0"
+    m = re.match(r"^downsample_conv(\d)$", n)
+    if m:
+        return f"downsample_layers.{m.group(1)}.1"
+    if n == "head_norm":
+        return "norm"
+    if n == "head":
+        return "head"
+    n = re.sub(r"^stage(\d)_block(\d+)(/|$)", r"stages.\1.\2.", n)
+    return n.replace("/", ".").rstrip(".")
+
+
 _FAMILY_RULES = {
     "ResNet": _resnet_torch_name,
+    "CifarResNet": _resnet_torch_name,
     "VisionTransformer": _vit_torch_name,
     "MlpMixer": _mixer_torch_name,
+    "MobileNetV2": _mobilenet_v2_torch_name,
+    "DenseNet": _densenet_torch_name,
+    "ConvNeXt": _convnext_torch_name,
 }
 
 _SUFFIX_MAP = {
@@ -121,6 +202,9 @@ _SUFFIX_MAP = {
     "var": "running_var",
     "cls_token": "cls_token",
     "pos_embed": "pos_embed",
+    # ConvNeXt layer-scale / GRN parameters keep their names in torch
+    "gamma": "gamma",
+    "beta": "beta",
 }
 
 
