@@ -244,6 +244,14 @@ def mim_linf(
     return x_adv
 
 
+def clip_l2_norm(cln_img: jax.Array, adv_img: jax.Array, eps: float) -> jax.Array:
+    """Clip a perturbation to a global L2 budget (reference attack.py:10-17;
+    note the reference clips the WHOLE tensor's norm, not per-sample)."""
+    noise = adv_img - cln_img
+    norm = jnp.sqrt(jnp.sum(noise**2))
+    return jnp.where(norm > eps, cln_img + noise * eps / norm, adv_img)
+
+
 # registry mirroring the reference's attack_list (attack.py:52)
 ATTACKS: dict[str, Callable[..., jax.Array]] = {
     "fgsm": fgsm,
@@ -252,6 +260,7 @@ ATTACKS: dict[str, Callable[..., jax.Array]] = {
     "pgd_l1": pgd_l1,
     "mim_linf": mim_linf,
 }
+attack_list = ATTACKS  # reference alias (attack.py:52)
 
 
 def make_attack_fn(

@@ -232,10 +232,13 @@ class Solver:
             x = images_u8.astype(jnp.float32) / 255.0
             return clf.apply_fn(variables, x, train=False)
 
+        n_dev = int(np.prod(list(mesh.shape.values())))
+
         def wrapped(variables, images_u8):
-            images_u8 = jax.device_put(
-                images_u8, batch_sharding(mesh, images_u8.ndim)
-            )
+            if images_u8.shape[0] % n_dev == 0:
+                images_u8 = jax.device_put(
+                    images_u8, batch_sharding(mesh, images_u8.ndim)
+                )
             return fn(variables, images_u8)
 
         self._eval_fn = wrapped
