@@ -63,3 +63,25 @@ def test_inspect_ckpt(tmp_path, capsys):
     )
     keys = inspect(str(tmp_path / "c.msgpack"))
     assert any("params/w" in k for k in keys)
+
+
+def test_attack_utils():
+    from robustart_tpu.attacks.utils import check_imgs, l2_norm, linf_norm
+
+    x = np.zeros((2, 4, 4, 3), np.float32)
+    adv = x + 0.05
+    res, lo, hi, bad = check_imgs(adv, x, "Linf")
+    assert abs(res - 0.05) < 1e-6 and bad == 0
+    assert np.allclose(l2_norm(adv - x), np.sqrt(48 * 0.05**2))
+    assert np.allclose(linf_norm(adv - x), 0.05)
+
+
+def test_cifar_utils():
+    from robustart_tpu.cifar10.utils import get_mean_and_std, normalize
+
+    x = np.random.default_rng(0).uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    back = normalize(normalize(x, "normal"), "inv")
+    np.testing.assert_allclose(back, x, atol=1e-6)
+    u8 = (x * 255).astype(np.uint8)
+    mean, std = get_mean_and_std(u8)
+    assert mean.shape == (3,) and 0.3 < mean.mean() < 0.7
