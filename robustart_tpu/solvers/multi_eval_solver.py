@@ -28,6 +28,7 @@ import os.path as osp
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from robustart_tpu.core.logging import get_logger
@@ -123,8 +124,26 @@ class MultiEvalSolver(Solver):
             cfg.data, "test", self.rank, self.world_size,
             seed=int(cfg.get("seed", 0)),
         )
-        eval_fn = self.eval_fn()
         variables = self.classifier.variables
+        clf = self.classifier
+
+        # ONE jitted program per batch: corrupt → uint8-quantize → forward.
+        # A single dispatch+fetch per batch matters doubly behind high-latency
+        # transports (remote TPU relays) and lets XLA overlap the corruption
+        # VPU work with the first conv layers.
+        from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
+
+        corrupt_fn = CORRUPTIONS.get(corruption)
+
+        @jax.jit
+        def fused_step(variables, images_u8, key):
+            x01 = images_u8.astype(jnp.float32) / 255.0
+            keys = jax.random.split(key, x01.shape[0])
+            c = jax.vmap(lambda img, k: corrupt_fn(img, k, severity))(x01, keys)
+            q = jnp.floor(jnp.clip(c, 0.0, 1.0) * 255.0) / 255.0
+            return clf.apply_fn(variables, q, train=False)
+
+        eval_fn = self.eval_fn()
         writer = ResultWriter(res_file, self.rank, self.world_size)
         key = jax.random.key(int(cfg.get("seed", 0)) * 131 + severity)
         n_written = 0
@@ -132,16 +151,12 @@ class MultiEvalSolver(Solver):
         for bi, batch in enumerate(loader):
             if corruption == "jpeg_compression":
                 images = jpeg_compression_batch(batch.image, severity)
+                logits = np.asarray(eval_fn(variables, images))
             else:
-                x01 = batch.image.astype(np.float32) / 255.0
-                corrupted = corrupt_batch(
-                    x01, jax.random.fold_in(key, bi), corruption, severity
+                logits = np.asarray(
+                    fused_step(variables, batch.image,
+                               jax.random.fold_in(key, bi))
                 )
-                # quantize through uint8 like stored ImageNet-C
-                images = np.asarray(
-                    np.floor(np.asarray(corrupted) * 255.0), np.uint8
-                )
-            logits = np.asarray(eval_fn(variables, images))
             for i in range(len(batch.mask)):
                 if batch.mask[i]:
                     writer.write(
