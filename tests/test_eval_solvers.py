@@ -121,3 +121,20 @@ def test_benchmark_eval_adv_transfer(tmp_path):
     )
     out = solver.evaluate()
     assert "AR" in out
+
+
+def test_imgnet_p_online_sequences(tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        imagenet_p_online=True,
+        perturbations=["gaussian_noise", "rotate", "brightness"],
+        n_frames=3,
+    )
+    solver = ImgnetPEvalSolver(cfg)
+    summary = solver.evaluate()
+    assert set(summary["per_perturbation"]) == {
+        "gaussian_noise", "rotate", "brightness",
+    }
+    res = tmp_path / "results" / "rotate" / "results.txt.all"
+    lines = [json.loads(l) for l in open(res)]
+    assert len(lines) == 16 and len(lines[0]["predictions"]) == 3
