@@ -20,6 +20,10 @@ import jax  # noqa: E402
 # conftest runs, so the env var alone is not enough — force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# persistent compilation cache: model compiles dominate suite wall time;
+# repeated runs hit the cache
+jax.config.update("jax_compilation_cache_dir", "/tmp/robustart_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
