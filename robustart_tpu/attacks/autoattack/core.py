@@ -256,7 +256,12 @@ class AutoAttack:
                 best_norm = np.minimum(best_norm, norms)
             return x_out
         if attack == "square":
-            assert self.norm == "Linf", "Square implemented for Linf"
+            if self.norm != "Linf":
+                logger.warning(
+                    "Square-%s not implemented yet; skipping this cascade "
+                    "stage (APGD/FAB already ran)", self.norm,
+                )
+                return np.asarray(x)
             return np.asarray(
                 square_attack_linf(
                     fn, variables, xj, yj, key,
