@@ -42,6 +42,10 @@ def read_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     for k, v in obj.items():
         if k.startswith("module."):
             k = k[len("module."):]
+        # torch MultiheadAttention flattens in_proj params into attribute
+        # names; normalize to dotted form for the rule machinery (CLIP)
+        k = k.replace("in_proj_weight", "in_proj.weight")
+        k = k.replace("in_proj_bias", "in_proj.bias")
         if hasattr(v, "numpy"):
             out[k] = v.detach().cpu().numpy()
     return out
@@ -184,6 +188,50 @@ def _convnext_torch_name(flax_name: str) -> str | None:
     return n.replace("/", ".").rstrip(".")
 
 
+def _swin_torch_name(flax_name: str) -> str | None:
+    """Official microsoft Swin naming: patch_embed.{proj,norm},
+    layers.S.blocks.B.{norm1,attn.*,norm2,mlp.fc*},
+    layers.S.downsample.{norm,reduction}, norm, head."""
+    n = flax_name
+    if n == "patch_embed":
+        return "patch_embed.proj"
+    if n == "patch_norm":
+        return "patch_embed.norm"
+    m = re.match(r"^merge_norm(\d)$", n)
+    if m:
+        return f"layers.{int(m.group(1)) - 1}.downsample.norm"
+    m = re.match(r"^merge_reduction(\d)$", n)
+    if m:
+        return f"layers.{int(m.group(1)) - 1}.downsample.reduction"
+    n = re.sub(r"^stage(\d)_block(\d+)/", r"layers.\1.blocks.\2.", n)
+    n = n.replace("mlp_fc", "mlp.fc")
+    return n.replace("/", ".")
+
+
+def _clip_torch_name(flax_name: str) -> str | None:
+    """OpenAI CLIP visual tower: visual.conv1 patch, visual.transformer.
+    resblocks.i.{ln_1,attn.{in_proj,out_proj},ln_2,mlp.{c_fc,c_proj}},
+    visual.{ln_pre,ln_post,proj,class_embedding,positional_embedding}."""
+    n = flax_name
+    if n == "patch_embed":
+        return "visual.conv1"
+    if n in ("ln_pre", "ln_post"):
+        return f"visual.{n}"
+    if n in ("class_embedding", "positional_embedding", "proj"):
+        return f"visual.{n}"
+    m = re.match(r"^resblock(\d+)/(.*)$", n)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        rest = {
+            "qkv": "attn.in_proj",
+            "out_proj": "attn.out_proj",
+            "mlp_fc": "mlp.c_fc",
+            "mlp_proj": "mlp.c_proj",
+        }.get(rest, rest)
+        return f"visual.transformer.resblocks.{i}.{rest}"
+    return n.replace("/", ".")
+
+
 _FAMILY_RULES = {
     "ResNet": _resnet_torch_name,
     "CifarResNet": _resnet_torch_name,
@@ -192,6 +240,8 @@ _FAMILY_RULES = {
     "MobileNetV2": _mobilenet_v2_torch_name,
     "DenseNet": _densenet_torch_name,
     "ConvNeXt": _convnext_torch_name,
+    "SwinTransformer": _swin_torch_name,
+    "CLIPVisionClassifier": _clip_torch_name,
 }
 
 _SUFFIX_MAP = {
@@ -242,6 +292,10 @@ def convert_state_dict(
             torch_key = "conv1.weight"
         elif leaf in ("cls_token", "pos_embed"):
             torch_key = leaf
+        elif leaf not in _SUFFIX_MAP:
+            # whole-leaf params (CLIP embeddings/proj, Swin rpb table):
+            # the family rule translates the full path
+            torch_key = rule(param_path)
         else:
             suffix = _SUFFIX_MAP.get(leaf)
             torch_base = rule(base) if base else ""

@@ -161,3 +161,52 @@ def test_convnext_mapping_completeness():
         assert key.startswith(
             ("downsample_layers.", "stages.", "norm.", "head.")
         ), (name, key)
+
+
+def test_swin_mapping_completeness():
+    clf = create_classifier("swin_tiny", rng=0, input_size=224, num_classes=10)
+    from robustart_tpu.models.torch_convert import (
+        _swin_torch_name,
+        _SUFFIX_MAP,
+        flatten,
+    )
+
+    for name in flatten(clf.variables):
+        _, _, path = name.partition("/")
+        leaf = path.rsplit("/", 1)[-1]
+        base = path.rsplit("/", 1)[0] if "/" in path else ""
+        if leaf in _SUFFIX_MAP:
+            torch_base = _swin_torch_name(base) if base else ""
+            key = f"{torch_base}.{_SUFFIX_MAP[leaf]}" if torch_base else _SUFFIX_MAP[leaf]
+        else:
+            key = _swin_torch_name(path)
+        assert "stage" not in key and "merge_" not in key, (name, key)
+        assert key.startswith(("patch_embed.", "layers.", "norm.", "head.")), (
+            name, key,
+        )
+        if leaf == "relative_position_bias_table":
+            assert key.endswith("attn.relative_position_bias_table")
+
+
+def test_clip_mapping_completeness():
+    clf = create_classifier("clip_vit_l_14", rng=0, input_size=224,
+                            num_classes=10)
+    from robustart_tpu.models.torch_convert import (
+        _clip_torch_name,
+        _SUFFIX_MAP,
+        flatten,
+    )
+
+    for name in flatten(clf.variables):
+        _, _, path = name.partition("/")
+        leaf = path.rsplit("/", 1)[-1]
+        base = path.rsplit("/", 1)[0] if "/" in path else ""
+        if leaf in ("zero_shot_weights", "logit_scale"):
+            continue  # framework-side head, no torch counterpart
+        if leaf in _SUFFIX_MAP:
+            torch_base = _clip_torch_name(base) if base else ""
+            key = f"{torch_base}.{_SUFFIX_MAP[leaf]}" if torch_base else _SUFFIX_MAP[leaf]
+        else:
+            key = _clip_torch_name(path)
+        assert "resblock0/" not in key, (name, key)
+        assert key.startswith("visual."), (name, key)
