@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: amortizes the multi-minute remote compile
+# across bench invocations/rounds
+jax.config.update("jax_compilation_cache_dir", "/tmp/robustart_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 REFERENCE_A100_IMG_PER_SEC = 2500.0
 BATCH = 512
 ITERS = 20

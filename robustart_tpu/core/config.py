@@ -133,6 +133,10 @@ def iter_eval_list(cfg: Config) -> Iterator[Config]:
     """
     entries = cfg.get("eval_list") or [{}]
     for entry in entries:
+        if isinstance(entry, str):
+            # the reference's batch lists are plain model names
+            # (reference exprs/exp/swin/config.yaml:8-10)
+            entry = {"model": {"type": entry}}
         sub = cfg.merged(entry if isinstance(entry, Mapping) else {})
         sub.pop("eval_list", None)
         yield sub

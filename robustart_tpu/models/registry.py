@@ -124,6 +124,33 @@ _register_family(
     },
     mean_std=(CLIP_MEAN, CLIP_STD),
 )
+
+from robustart_tpu.models import googlenet, nas_zoo  # noqa: E402
+
+_register_family({"googlenet": googlenet.googlenet})
+_register_family(dict(nas_zoo.NAS_FACTORIES))
+# swin eval-list aliases (reference swin/config.yaml:10)
+_register_family({"swin_base_224": swin.swin_base})
+_register_family({"swin_base_384": swin.swin_base}, input_size=384)
+
+
+def _mobilenet_v3_named(mode: str, scale: float):
+    def factory(**kw):
+        kw.pop("bn", None)
+        kw.setdefault("dropout", 0.0)
+        return mobilenet.mobilenet_v3(mode=mode, scale=scale, **kw)
+
+    return factory
+
+
+_register_family(
+    {
+        f"mobilenet_v3_{mode}_x{str(s).replace('.', '_')}":
+            _mobilenet_v3_named(mode, s)
+        for mode in ("small", "large")
+        for s in (0.35, 0.5, 0.75, 1.0, 1.4)
+    }
+)
 for _name, _factory in efficientnet.EFFICIENTNET_FACTORIES.items():
     _variant = _name.replace("efficientnet_", "").replace("_nodrop", "")
     _register_family(

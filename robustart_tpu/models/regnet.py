@@ -38,11 +38,13 @@ def generate_widths(w0: float, wa: float, wm: float, depth: int, group_w: int):
 
 
 class XBlock(nn.Module):
-    """RegNetX bottleneck (b=1) block with grouped 3x3."""
+    """RegNet bottleneck (b=1) block with grouped 3x3; ``se_ratio`` > 0 adds
+    the squeeze-excite of RegNetY (pycls AnyNet Y-block)."""
 
     features: int
     stride: int
     group_width: int
+    se_ratio: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -65,6 +67,15 @@ class XBlock(nn.Module):
         out = conv(self.features, 3, self.stride, groups, "conv2",
                    [(1, 1), (1, 1)])(out)
         out = nn.relu(bn("bn2")(out))
+        if self.se_ratio > 0:
+            # SE on the block input width (pycls convention)
+            squeeze = max(1, int(round(x.shape[-1] * self.se_ratio)))
+            s = jnp.mean(out, axis=(1, 2), keepdims=True)
+            s = nn.relu(nn.Conv(squeeze, (1, 1), dtype=self.dtype,
+                                name="se_reduce")(s))
+            s = nn.sigmoid(nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                                   name="se_expand")(s))
+            out = out * s
         out = conv(self.features, 1, 1, 1, "conv3", "VALID")(out)
         out = bn("bn3")(out)
         if self.stride != 1 or x.shape[-1] != self.features:
@@ -80,6 +91,7 @@ class RegNetX(nn.Module):
     depth: int
     group_width: int
     num_classes: int = 1000
+    se_ratio: float = 0.0  # > 0 = RegNetY
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,20 +113,38 @@ class RegNetX(nn.Module):
             for bi in range(d):
                 x = XBlock(
                     w, stride=2 if bi == 0 else 1,
-                    group_width=self.group_width, dtype=self.dtype,
+                    group_width=self.group_width, se_ratio=self.se_ratio,
+                    dtype=self.dtype,
                     name=f"s{si + 1}_b{bi + 1}",
                 )(x, train)
         x = global_avg_pool(x).astype(jnp.float32)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
 
 
-# pycls RegNetX flop-regime parameters
+# pycls RegNetX/Y flop-regime parameters (Y adds SE with ratio 0.25)
 _PARAMS = {
     "regnetx_400m": dict(w0=24, wa=24.48, wm=2.54, depth=22, group_width=16),
     "regnetx_800m": dict(w0=56, wa=35.73, wm=2.28, depth=16, group_width=16),
     "regnetx_1600m": dict(w0=80, wa=34.01, wm=2.25, depth=18, group_width=24),
     "regnetx_3200m": dict(w0=88, wa=26.31, wm=2.25, depth=25, group_width=48),
+    "regnetx_4000m": dict(w0=96, wa=38.65, wm=2.43, depth=23, group_width=40),
     "regnetx_6400m": dict(w0=184, wa=60.83, wm=2.07, depth=17, group_width=56),
+    "regnety_200m": dict(w0=24, wa=36.44, wm=2.49, depth=13, group_width=8,
+                         se_ratio=0.25),
+    "regnety_400m": dict(w0=48, wa=27.89, wm=2.09, depth=16, group_width=8,
+                         se_ratio=0.25),
+    "regnety_600m": dict(w0=48, wa=32.54, wm=2.32, depth=15, group_width=16,
+                         se_ratio=0.25),
+    "regnety_800m": dict(w0=56, wa=38.84, wm=2.4, depth=14, group_width=16,
+                         se_ratio=0.25),
+    "regnety_1600m": dict(w0=48, wa=20.71, wm=2.65, depth=27, group_width=24,
+                          se_ratio=0.25),
+    "regnety_3200m": dict(w0=80, wa=42.63, wm=2.66, depth=21, group_width=24,
+                          se_ratio=0.25),
+    "regnety_4000m": dict(w0=96, wa=31.41, wm=2.24, depth=22, group_width=64,
+                          se_ratio=0.25),
+    "regnety_6400m": dict(w0=112, wa=33.22, wm=2.27, depth=25, group_width=72,
+                          se_ratio=0.25),
 }
 
 

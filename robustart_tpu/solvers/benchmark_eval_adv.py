@@ -118,11 +118,15 @@ class BenchmarkEvalAdvSolver(Solver):
         limit = cfg.get_path("data.test.limit_samples")
 
         config = attack_config(self.attack, self.eps)
+        # per-config hyperparameter overrides (e.g. fewer AutoAttack iters
+        # for smoke runs): cfg.attack_kwargs merges into the attack config
+        config.update(dict(cfg.get("attack_kwargs") or {}))
         if self.attack == "autoattack_linf":
             from robustart_tpu.attacks.autoattack import AutoAttack
 
+            aa_kwargs = dict(cfg.get("autoattack_kwargs") or {})
             aa = AutoAttack(src, norm="Linf", eps=config["eps"],
-                            version="standard", verbose=False)
+                            version="standard", verbose=False, **aa_kwargs)
             def gen(x01, labels, key):
                 return aa.run_standard_evaluation(x01, labels, bs=x01.shape[0])
         else:

@@ -57,3 +57,21 @@ def test_lms_remat_training_runs(tmp_path):
     solver.train()
     metrics = solver.evaluate()
     assert "top1" in metrics
+
+
+def test_result_writer_multirank_merge(tmp_path):
+    from robustart_tpu.solvers.base import ResultWriter
+
+    path = str(tmp_path / "results.txt.all")
+    # simulate two ranks writing shards, rank 0 merging
+    w1 = ResultWriter(path, rank=1, world_size=2)
+    w1.write({"prediction": 1, "label": 1})
+    w1.close()
+    w0 = ResultWriter(path, rank=0, world_size=2)
+    w0.write({"prediction": 0, "label": 0})
+    w0.close()
+    merged = w0.merge()
+    lines = open(merged).read().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])["label"] == 0  # rank order preserved
+    assert json.loads(lines[1])["label"] == 1

@@ -138,3 +138,13 @@ def test_imgnet_p_online_sequences(tmp_path):
     res = tmp_path / "results" / "rotate" / "results.txt.all"
     lines = [json.loads(l) for l in open(res)]
     assert len(lines) == 16 and len(lines[0]["predictions"]) == 3
+
+
+def test_benchmark_eval_adv_autoattack(tmp_path):
+    cfg = _cfg(tmp_path)
+    cfg.autoattack_kwargs = {
+        "n_iter": 5, "n_target_classes": 1, "square_n_queries": 20,
+    }
+    solver = BenchmarkEvalAdvSolver(cfg, attack="autoattack_linf", eps=8.0)
+    out = solver.evaluate()
+    assert 0.0 <= out["AR"] <= 100.0

@@ -178,17 +178,37 @@ def main():
     write(osp.join(d, "config.yaml"), cfg21k)
     write(osp.join(d, "run.sh"), RUN_SH)
 
-    # batch eval via eval_list (reference exprs/exp/swin/config.yaml:8-10)
+    # batch eval via eval_list (reference exprs/exp/swin/config.yaml:8-10) —
+    # string entries are model names, as in the reference
     swin_cfg = base_config("swin_base", {}, 64)
-    swin_cfg["eval_list"] = [
-        {"saver": {"pretrain": {"path": f"{DATA_ROOT}/ckpt/swin_base.pth"},
-                   "results_path": "results/swin/base/results.txt.all"}},
-        {"model": {"type": "swin_tiny"},
-         "saver": {"pretrain": {"path": f"{DATA_ROOT}/ckpt/swin_tiny.pth"},
-                   "results_path": "results/swin/tiny/results.txt.all"}},
-    ]
+    swin_cfg["eval_list"] = ["swin_base_224", "swin_base_384", "swin_small",
+                             "swin_tiny"]
     write(osp.join(ROOT, "exp", "swin", "config.yaml"), swin_cfg)
     write(osp.join(ROOT, "exp", "swin", "eval.sh"),
+          EVAL_SH.format(solver="cls_solver", config="config.yaml"))
+
+    # the NAS-era batch list (reference swin/config.yaml:8, full enumeration)
+    nas_cfg = base_config("resnext50_32x4d", {"num_classes": 1000}, 64)
+    nas_cfg["eval_list"] = [
+        "regnetx_3200m", "regnetx_4000m", "regnetx_6400m",
+        "regnety_200m", "regnety_400m", "regnety_600m", "regnety_800m",
+        "regnety_1600m", "regnety_3200m", "regnety_4000m", "regnety_6400m",
+    ] + [f"bignas_resnet18_{b}M" for b in
+         [9, 37, 50, 49, 65, 107, 125, 150, 312, 403, 492, 1555]] + [
+        "bignas_det_resnet18_1930M", "bignas_resnet50_2954M",
+        "bignas_resnet50_3145M", "bignas_resnet50_3811M",
+        "dmcp_resnet18_47M", "dmna_resnet18_1800M",
+        "shufflenet_v2_x0_5", "shufflenet_v2_x1_0", "shufflenet_v2_x1_5",
+        "shufflenet_v2_x2_0",
+    ] + [f"oneshot_supcell_{b}M" for b in
+         [9, 27, 37, 55, 70, 91, 96, 113, 168, 304, 1710, 3072]] + [
+        "crnas_resnet18c", "crnas_resnet50c", "crnas_resnet101c",
+    ] + [f"efficientnet_b{i}" for i in range(8)] + [
+        f"mobilenet_v3_{m}_x{str(s).replace('.', '_')}"
+        for m in ("small", "large") for s in (0.35, 0.5, 0.75, 1.0, 1.4)
+    ] + ["googlenet"]
+    write(osp.join(ROOT, "exp", "swin_2", "config.yaml"), nas_cfg)
+    write(osp.join(ROOT, "exp", "swin_2", "eval.sh"),
           EVAL_SH.format(solver="cls_solver", config="config.yaml"))
 
     # eval loops (reference exprs/exp/)
