@@ -69,7 +69,10 @@ class DataLoader:
     def _load_one(self, idx: int, rng: random.Random) -> dict[str, Any]:
         item = self.dataset[int(idx)]
         img = item["image"]
-        if self.transform is not None:
+        # videos (F, H, W, C) arrive pre-sized (ImageNet-P .npy); transforms
+        # operate on single images only
+        is_video = getattr(img, "ndim", 3) == 4
+        if self.transform is not None and not is_video:
             img = self.transform(img, rng) if self.transform.needs_rng else self.transform(img)
         img = np.asarray(img, dtype=np.uint8)
         return {"image": img, "label": item["label"], "index": item["index"]}
@@ -100,14 +103,17 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as executor:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    lo = b * self.batch_size
-                    sel = self.indices[lo : lo + self.batch_size]
-                    out_q.put(self._make_batch(sel, executor))
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as executor:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        lo = b * self.batch_size
+                        sel = self.indices[lo : lo + self.batch_size]
+                        out_q.put(self._make_batch(sel, executor))
+                out_q.put(None)
+            except BaseException as exc:  # surface worker errors, don't hang
+                out_q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -116,6 +122,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -148,3 +148,55 @@ def test_benchmark_eval_adv_autoattack(tmp_path):
     solver = BenchmarkEvalAdvSolver(cfg, attack="autoattack_linf", eps=8.0)
     out = solver.evaluate()
     assert 0.0 <= out["AR"] <= 100.0
+
+
+def test_imgnet_p_stored_videos(tmp_path):
+    """Precomputed ImageNet-P: .npy videos via meta-file dataset."""
+    import os
+    import os.path as osp
+
+    rng = np.random.default_rng(0)
+    pert_dir = tmp_path / "data" / "gaussian_noise"
+    pert_dir.mkdir(parents=True)
+    meta = pert_dir / "meta.txt"
+    with meta.open("w") as f:
+        for i in range(4):
+            np.save(pert_dir / f"v{i}.npy",
+                    rng.integers(0, 255, (3, 32, 32, 3), np.uint8))
+            f.write(f"v{i}.npy {i}\n")
+    cfg = Config({
+        "model": {"type": "resnet18", "kwargs": {"num_classes": 10}},
+        "seed": 0,
+        "data": {
+            "read_from": "fs", "batch_size": 2, "num_workers": 1,
+            "input_size": 32,
+            "test": {
+                "root_dir": str(tmp_path / "data"), "meta_file": str(meta),
+                "sampler": {"type": "distributed"},
+                "transforms": {"type": "JUSTNORM"},
+                "perturbations": ["gaussian_noise"], "n_frames": 3,
+            },
+        },
+        "saver": {"results_dir": str(tmp_path / "results")},
+    })
+    out = ImgnetPEvalSolver(cfg).evaluate()
+    assert "gaussian_noise" in out["per_perturbation"]
+    res = tmp_path / "results" / "gaussian_noise" / "results.txt.all"
+    lines = [json.loads(l) for l in open(res)]
+    assert len(lines) == 4 and len(lines[0]["predictions"]) == 3
+
+
+def test_loader_surfaces_worker_errors():
+    """A failing dataset item must raise, not deadlock the iterator."""
+    from robustart_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    loader = DataLoader(Bad(), np.arange(4), batch_size=2, num_workers=1)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
