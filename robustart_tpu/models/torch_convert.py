@@ -232,9 +232,44 @@ def _clip_torch_name(flax_name: str) -> str | None:
     return n.replace("/", ".")
 
 
+def _shufflenet_torch_name(flax_name: str) -> str | None:
+    """torchvision shufflenetv2: conv1.{0,1}, stageS.I.branch{1,2}.J,
+    conv5.{0,1}, fc."""
+    n = flax_name
+    m = re.match(r"^_ConvBN_([01])/(Conv_0|BatchNorm_0)$", n)
+    if m:
+        top = "conv1" if m.group(1) == "0" else "conv5"
+        return f"{top}.{0 if m.group(2) == 'Conv_0' else 1}"
+    m = re.match(r"^stage(\d)_(\d+)/_ConvBN_(\d)/(Conv_0|BatchNorm_0)$", n)
+    if m:
+        stage, block, j = m.group(1), int(m.group(2)), int(m.group(3))
+        conv = m.group(4) == "Conv_0"
+        if block == 0 and j < 2:  # stride block's branch1: dw, 1x1
+            idx = [0, 2][j] + (0 if conv else 1)
+            return f"stage{stage}.{block}.branch1.{idx}"
+        jj = j - 2 if block == 0 else j  # branch2 sub-index
+        idx = [0, 3, 5][jj] + (0 if conv else 1)
+        return f"stage{stage}.{block}.branch2.{idx}"
+    return n.replace("/", ".")
+
+
+def _repvgg_torch_name(flax_name: str) -> str | None:
+    """DingXiaoH/RepVGG naming: stage0.rbr_{dense,1x1}.{conv,bn},
+    rbr_identity, stageS.I.rbr_*, linear."""
+    n = flax_name
+    n = re.sub(r"^stage(\d)_(\d+)/", r"stage\1.\2.", n)
+    n = n.replace("stage0/", "stage0.")
+    n = n.replace("conv3x3", "rbr_dense.conv").replace("bn3x3", "rbr_dense.bn")
+    n = n.replace("conv1x1", "rbr_1x1.conv").replace("bn1x1", "rbr_1x1.bn")
+    n = n.replace("bn_id", "rbr_identity")
+    return n.replace("/", ".")
+
+
 _FAMILY_RULES = {
     "ResNet": _resnet_torch_name,
     "CifarResNet": _resnet_torch_name,
+    "ShuffleNetV2": _shufflenet_torch_name,
+    "RepVGG": _repvgg_torch_name,
     "VisionTransformer": _vit_torch_name,
     "MlpMixer": _mixer_torch_name,
     "MobileNetV2": _mobilenet_v2_torch_name,

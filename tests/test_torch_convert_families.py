@@ -210,3 +210,41 @@ def test_clip_mapping_completeness():
             key = _clip_torch_name(path)
         assert "resblock0/" not in key, (name, key)
         assert key.startswith("visual."), (name, key)
+
+
+def test_shufflenet_mapping_completeness():
+    clf = create_classifier("shufflenet_v2_x1_0", rng=0, input_size=64)
+    from robustart_tpu.models.torch_convert import (
+        _shufflenet_torch_name,
+        _SUFFIX_MAP,
+        flatten,
+    )
+
+    for name in flatten(clf.variables):
+        _, _, path = name.partition("/")
+        leaf = path.rsplit("/", 1)[-1]
+        base = path.rsplit("/", 1)[0] if "/" in path else ""
+        torch_base = _shufflenet_torch_name(base) if base else ""
+        key = f"{torch_base}.{_SUFFIX_MAP[leaf]}" if torch_base else _SUFFIX_MAP[leaf]
+        assert "_ConvBN" not in key and "ShuffleUnit" not in key, (name, key)
+        assert key.startswith(
+            ("conv1.", "conv5.", "stage", "fc.", "weight", "bias")
+        ), (name, key)
+
+
+def test_repvgg_mapping_completeness():
+    clf = create_classifier("repvgg_A0", rng=0, input_size=64, num_classes=10)
+    from robustart_tpu.models.torch_convert import (
+        _repvgg_torch_name,
+        _SUFFIX_MAP,
+        flatten,
+    )
+
+    for name in flatten(clf.variables):
+        _, _, path = name.partition("/")
+        leaf = path.rsplit("/", 1)[-1]
+        base = path.rsplit("/", 1)[0] if "/" in path else ""
+        torch_base = _repvgg_torch_name(base) if base else ""
+        key = f"{torch_base}.{_SUFFIX_MAP[leaf]}" if torch_base else _SUFFIX_MAP[leaf]
+        assert "conv3x3" not in key and "bn_id" not in key, (name, key)
+        assert key.startswith(("stage", "linear")), (name, key)
