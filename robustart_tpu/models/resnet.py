@@ -119,6 +119,12 @@ class ResNet(nn.Module):
     space-to-depth input quadruples the stem's MXU utilization. The kernel
     parameter keeps its (7, 7, 3, 64) torch-compatible shape — the zero-pad +
     rearrange happens inside the forward, so checkpoints convert unchanged.
+
+    Default OFF: measured perf-neutral on the current XLA build, and its
+    asymmetric (2,1) padding trips an XLA TPU fusion-emitter assert
+    (`window.pad_low == -1`) when fused into multi-forward programs
+    (observed in the ImageNet-P online path). Enable per-model once the
+    compiler bug is fixed.
     """
 
     block: Callable[..., nn.Module]
@@ -126,7 +132,7 @@ class ResNet(nn.Module):
     num_classes: int = 1000
     groups: int = 1
     base_width: int = 64
-    stem_s2d: bool = True
+    stem_s2d: bool = False
     dtype: Any = jnp.float32
 
     def _stem(self, x: jax.Array) -> jax.Array:

@@ -17,6 +17,7 @@ the videos live as .npy (F, H, W, 3) files in
 
 from __future__ import annotations
 
+import functools
 import os.path as osp
 
 import numpy as np
@@ -154,17 +155,32 @@ class ImgnetPEvalSolver(Solver):
                 sy, sx = yy, xx
             return map_coordinates_bilinear_reflect(x01, sy, sx)
 
-        @jax.jit
-        def video_preds(variables, images_u8, key):
+        # frame synthesis and classification are SEPARATE XLA programs: the
+        # current XLA TPU build mis-compiles certain corruption+conv fusions
+        # (fusion_emitter `window.pad_low == -1` assert), and a barrier inside
+        # one program does not prevent it. Two dispatches per frame is the
+        # robust form; the classifier program is shared with every other
+        # solver (same cache entry).
+        @functools.partial(jax.jit, static_argnames=("f",))
+        def gen_frames(images_u8, f, key):
             x01 = images_u8.astype(jnp.float32) / 255.0
+            frames = jax.vmap(
+                lambda img, k: frame_fn(img, f, k)
+            )(x01, jax.random.split(key, x01.shape[0]))
+            return jnp.floor(jnp.clip(frames, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        @jax.jit
+        def classify(variables, images_u8):
+            x01 = images_u8.astype(jnp.float32) / 255.0
+            return jnp.argmax(
+                self.classifier.apply_fn(variables, x01, train=False), -1
+            )
+
+        def video_preds(variables, images_u8, key):
             preds = []
             for f in range(n_frames):
-                frames = jax.vmap(
-                    lambda img, k: frame_fn(img, f, k)
-                )(x01, jax.random.split(jax.random.fold_in(key, f), x01.shape[0]))
-                q = jnp.floor(jnp.clip(frames, 0.0, 1.0) * 255.0) / 255.0
-                logits = self.classifier.apply_fn(variables, q, train=False)
-                preds.append(jnp.argmax(logits, -1))
+                frames = gen_frames(images_u8, f, jax.random.fold_in(key, f))
+                preds.append(classify(variables, frames))
             return jnp.stack(preds, axis=1)  # (B, F)
 
         key = jax.random.key(int(cfg.get("seed", 0)) + hash(pert) % 10000)
