@@ -169,19 +169,18 @@ class ImgnetPEvalSolver(Solver):
             )(x01, jax.random.split(key, x01.shape[0]))
             return jnp.floor(jnp.clip(frames, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-        @jax.jit
-        def classify(variables, images_u8):
-            x01 = images_u8.astype(jnp.float32) / 255.0
-            return jnp.argmax(
-                self.classifier.apply_fn(variables, x01, train=False), -1
-            )
-
+        # reuse the shared eval program (identical cache entry to every other
+        # solver); argmax on host — the same program with a fused argmax
+        # trips the compiler assert described above
         def video_preds(variables, images_u8, key):
             preds = []
             for f in range(n_frames):
-                frames = gen_frames(images_u8, f, jax.random.fold_in(key, f))
-                preds.append(classify(variables, frames))
-            return jnp.stack(preds, axis=1)  # (B, F)
+                frames = np.asarray(
+                    gen_frames(images_u8, f, jax.random.fold_in(key, f))
+                )
+                logits = np.asarray(eval_fn(variables, frames))
+                preds.append(logits.argmax(-1))
+            return np.stack(preds, axis=1)  # (B, F)
 
         key = jax.random.key(int(cfg.get("seed", 0)) + hash(pert) % 10000)
         n_done = 0
