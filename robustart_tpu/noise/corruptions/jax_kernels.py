@@ -26,7 +26,7 @@ glass_blur pixel shuffle is the standard gather approximation of the
 reference's sequential swap loop (corruptions.py:169-185).
 
 ``jpeg_compression`` requires a real entropy codec and stays host-side
-(see robustart_tpu.noise.corruptions.host_jpeg).
+(see robustart_tpu.noise.corruptions.jpeg_compression_host).
 """
 
 from __future__ import annotations

@@ -34,7 +34,6 @@ from robustart_tpu.core.dist import (
     batch_sharding,
     get_mesh,
     init_distributed,
-    replicated,
 )
 from robustart_tpu.core.logging import get_logger
 from robustart_tpu.models import create_classifier, model_meta

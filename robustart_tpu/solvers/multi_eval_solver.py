@@ -36,7 +36,6 @@ from robustart_tpu.data import build_dataloader
 from robustart_tpu.metrics import ImageNetCEvaluator, mean_corruption_error
 from robustart_tpu.noise.corruptions import (
     CORRUPTION_ORDER,
-    corrupt_batch,
     jpeg_compression_batch,
 )
 from robustart_tpu.solvers.base import ResultWriter, Solver, standard_solver_argparser
