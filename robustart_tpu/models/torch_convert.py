@@ -265,6 +265,95 @@ def _repvgg_torch_name(flax_name: str) -> str | None:
     return n.replace("/", ".")
 
 
+def _make_efficientnet_rule(module):
+    """torchvision EfficientNet naming, parameterized by the module's depth
+    multiplier: features.0.{0,1} stem, features.{s}.{i}.block.{j} MBConvs
+    (j layout depends on expand_ratio), features.8.{0,1} head, classifier.1.
+    """
+    import math
+
+    from robustart_tpu.models.efficientnet import _BASE_BLOCKS
+
+    def d(n):
+        return int(math.ceil(n * module.depth_mult))
+
+    # flat MBConv index -> (feature stage 1..7, intra-stage idx, expand_ratio)
+    placement = []
+    for si, (expand, _c, repeats, _s, _k) in enumerate(_BASE_BLOCKS):
+        for i in range(d(repeats)):
+            placement.append((si + 1, i, expand))
+
+    def rule(flax_name: str) -> str:
+        n = flax_name
+        m = re.match(r"^_ConvBNSiLU_([01])/(Conv_0|BatchNorm_0)$", n)
+        if m:
+            feat = "0" if m.group(1) == "0" else "8"
+            sub = "0" if m.group(2) == "Conv_0" else "1"
+            return f"features.{feat}.{sub}"
+        if n == "classifier":
+            return "classifier.1"
+        m = re.match(r"^MBConv_(\d+)/(.+)$", n)
+        if m:
+            bi = int(m.group(1))
+            rest = m.group(2)
+            stage, idx, expand = placement[bi]
+            # torchvision block Sequential layout
+            if expand == 1:  # [dw(0), se(1), project(2)]
+                layout = {
+                    "_ConvBNSiLU_0/Conv_0": "block.0.0",
+                    "_ConvBNSiLU_0/BatchNorm_0": "block.0.1",
+                    "se_reduce": "block.1.fc1",
+                    "se_expand": "block.1.fc2",
+                    "_ConvBNSiLU_1/Conv_0": "block.2.0",
+                    "_ConvBNSiLU_1/BatchNorm_0": "block.2.1",
+                }
+            else:  # [expand(0), dw(1), se(2), project(3)]
+                layout = {
+                    "_ConvBNSiLU_0/Conv_0": "block.0.0",
+                    "_ConvBNSiLU_0/BatchNorm_0": "block.0.1",
+                    "_ConvBNSiLU_1/Conv_0": "block.1.0",
+                    "_ConvBNSiLU_1/BatchNorm_0": "block.1.1",
+                    "se_reduce": "block.2.fc1",
+                    "se_expand": "block.2.fc2",
+                    "_ConvBNSiLU_2/Conv_0": "block.3.0",
+                    "_ConvBNSiLU_2/BatchNorm_0": "block.3.1",
+                }
+            sub = layout.get(rest, rest.replace("/", "."))
+            return f"features.{stage}.{idx}.{sub}"
+        return n.replace("/", ".")
+
+    return rule
+
+
+def _make_regnet_rule(module):
+    """pycls RegNet naming: stem.{conv,bn}, sS.bB.{proj,bn,f.{a,a_bn,b,b_bn,
+    se.f_ex.{0,2},c,c_bn}}, head.fc."""
+    del module
+
+    def rule(flax_name: str) -> str:
+        n = flax_name
+        if n == "stem_conv":
+            return "stem.conv"
+        if n == "stem_bn":
+            return "stem.bn"
+        if n == "fc":
+            return "head.fc"
+        m = re.match(r"^(s\d+_b\d+)/(.+)$", n)
+        if m:
+            block = m.group(1).replace("_", ".")
+            rest = {
+                "conv1": "f.a", "bn1": "f.a_bn",
+                "conv2": "f.b", "bn2": "f.b_bn",
+                "conv3": "f.c", "bn3": "f.c_bn",
+                "proj": "proj", "proj_bn": "bn",
+                "se_reduce": "f.se.f_ex.0", "se_expand": "f.se.f_ex.2",
+            }.get(m.group(2), m.group(2))
+            return f"{block}.{rest}"
+        return n.replace("/", ".")
+
+    return rule
+
+
 _FAMILY_RULES = {
     "ResNet": _resnet_torch_name,
     "CifarResNet": _resnet_torch_name,
@@ -277,6 +366,12 @@ _FAMILY_RULES = {
     "ConvNeXt": _convnext_torch_name,
     "SwinTransformer": _swin_torch_name,
     "CLIPVisionClassifier": _clip_torch_name,
+}
+
+# families whose rule depends on module hyperparameters
+_FAMILY_RULE_FACTORIES = {
+    "EfficientNet": _make_efficientnet_rule,
+    "RegNetX": _make_regnet_rule,
 }
 
 _SUFFIX_MAP = {
@@ -308,14 +403,16 @@ def _convert_tensor(flax_name: str, torch_value: np.ndarray, target_shape):
 
 
 def convert_state_dict(
-    state_dict: dict[str, np.ndarray], variables: Any, family: str
+    state_dict: dict[str, np.ndarray], variables: Any, family
 ) -> tuple[Any, list[str]]:
     """Convert a torch state dict into the flax ``variables`` structure.
 
-    Returns (new_variables, missing_names). Tensors absent or shape-
-    incompatible keep their initialized values and are reported.
+    ``family`` is a family name from ``_FAMILY_RULES`` or a rule callable
+    (module-parameterized families use ``resolve_rule``). Returns
+    (new_variables, missing_names); absent/shape-incompatible tensors keep
+    their initialized values and are reported.
     """
-    rule = _FAMILY_RULES[family]
+    rule = _FAMILY_RULES[family] if isinstance(family, str) else family
     flat = flatten(variables)
     out = {}
     missing = []
@@ -345,9 +442,19 @@ def convert_state_dict(
     return unflatten(out), missing
 
 
-def detect_family(module) -> str:
+def resolve_rule(module):
+    """Name-translation rule for a Flax module (static or module-aware)."""
     cls = type(module).__name__
     if cls in _FAMILY_RULES:
+        return _FAMILY_RULES[cls]
+    if cls in _FAMILY_RULE_FACTORIES:
+        return _FAMILY_RULE_FACTORIES[cls](module)
+    raise ValueError(f"no torch-conversion rules for module family {cls!r}")
+
+
+def detect_family(module) -> str:
+    cls = type(module).__name__
+    if cls in _FAMILY_RULES or cls in _FAMILY_RULE_FACTORIES:
         return cls
     raise ValueError(f"no torch-conversion rules for module family {cls!r}")
 
@@ -355,9 +462,9 @@ def detect_family(module) -> str:
 def load_torch_checkpoint(path: str, classifier) -> Any:
     """Load + convert a torch checkpoint for a Classifier; returns variables."""
     state_dict = read_torch_state_dict(path)
-    family = detect_family(classifier.module)
+    rule = resolve_rule(classifier.module)
     variables, missing = convert_state_dict(
-        state_dict, classifier.variables, family
+        state_dict, classifier.variables, rule
     )
     if missing:
         logger.warning(

@@ -248,3 +248,40 @@ def test_repvgg_mapping_completeness():
         key = f"{torch_base}.{_SUFFIX_MAP[leaf]}" if torch_base else _SUFFIX_MAP[leaf]
         assert "conv3x3" not in key and "bn_id" not in key, (name, key)
         assert key.startswith(("stage", "linear")), (name, key)
+
+
+def test_efficientnet_mapping_completeness():
+    from robustart_tpu.models.torch_convert import _SUFFIX_MAP, flatten, resolve_rule
+
+    clf = create_classifier("efficientnet_b2", rng=0, input_size=64)
+    rule = resolve_rule(clf.module)
+    seen_stages = set()
+    for name in flatten(clf.variables):
+        _, _, path = name.partition("/")
+        leaf = path.rsplit("/", 1)[-1]
+        base = path.rsplit("/", 1)[0] if "/" in path else ""
+        torch_base = rule(base) if base else ""
+        key = f"{torch_base}.{_SUFFIX_MAP[leaf]}" if torch_base else _SUFFIX_MAP[leaf]
+        assert "MBConv" not in key and "_ConvBNSiLU" not in key, (name, key)
+        assert key.startswith(("features.", "classifier.")), (name, key)
+        m = key.split(".")
+        if m[0] == "features" and m[1] not in ("0", "8"):
+            seen_stages.add(int(m[1]))
+    assert seen_stages == set(range(1, 8))  # all 7 MBConv stages present
+
+
+def test_regnet_mapping_completeness():
+    from robustart_tpu.models.torch_convert import _SUFFIX_MAP, flatten, resolve_rule
+
+    clf = create_classifier("regnety_400m", rng=0, input_size=64)
+    rule = resolve_rule(clf.module)
+    for name in flatten(clf.variables):
+        _, _, path = name.partition("/")
+        leaf = path.rsplit("/", 1)[-1]
+        base = path.rsplit("/", 1)[0] if "/" in path else ""
+        torch_base = rule(base) if base else ""
+        key = f"{torch_base}.{_SUFFIX_MAP[leaf]}" if torch_base else _SUFFIX_MAP[leaf]
+        assert "XBlock" not in key and "_b" not in key.split(".")[0][2:], (name, key)
+        assert key.startswith(("stem.", "s", "head.")), (name, key)
+        if "se_" in name:
+            assert ".se.f_ex." in key
