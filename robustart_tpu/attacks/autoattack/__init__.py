@@ -11,13 +11,17 @@ from robustart_tpu.attacks.autoattack.apgd import (
 )
 from robustart_tpu.attacks.autoattack.core import AutoAttack
 from robustart_tpu.attacks.autoattack.fab import fab_attack_targeted
-from robustart_tpu.attacks.autoattack.square import square_attack_linf
+from robustart_tpu.attacks.autoattack.square import (
+    square_attack_l2,
+    square_attack_linf,
+)
 
 __all__ = [
     "AutoAttack",
     "apgd_attack",
     "fab_attack_targeted",
     "square_attack_linf",
+    "square_attack_l2",
     "dlr_loss",
     "dlr_loss_targeted",
 ]

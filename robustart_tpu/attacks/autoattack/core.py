@@ -34,7 +34,10 @@ import numpy as np
 
 from robustart_tpu.attacks.autoattack.apgd import apgd_attack
 from robustart_tpu.attacks.autoattack.fab import fab_attack_targeted
-from robustart_tpu.attacks.autoattack.square import square_attack_linf
+from robustart_tpu.attacks.autoattack.square import (
+    square_attack_l2,
+    square_attack_linf,
+)
 from robustart_tpu.core.logging import get_logger
 
 logger = get_logger("robustart.autoattack")
@@ -256,14 +259,9 @@ class AutoAttack:
                 best_norm = np.minimum(best_norm, norms)
             return x_out
         if attack == "square":
-            if self.norm != "Linf":
-                logger.warning(
-                    "Square-%s not implemented yet; skipping this cascade "
-                    "stage (APGD/FAB already ran)", self.norm,
-                )
-                return np.asarray(x)
+            square = square_attack_linf if self.norm == "Linf" else square_attack_l2
             return np.asarray(
-                square_attack_linf(
+                square(
                     fn, variables, xj, yj, key,
                     eps=self.eps, n_queries=self.square_n_queries,
                 )

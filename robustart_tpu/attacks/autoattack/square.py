@@ -131,3 +131,106 @@ def square_attack_linf(
         0, n_queries, body, (x_adv, margin, loss, key)
     )
     return x_adv
+
+
+def _eta_pyramid(s: int) -> np.ndarray:
+    """The L2 'pyramid' bump η^(s): mass concentrated at the window center
+    (square.py eta construction), L2-normalized."""
+    center = (s - 1) / 2.0
+    yy, xx = np.mgrid[0:s, 0:s]
+    dist = np.maximum(np.abs(yy - center), np.abs(xx - center))
+    eta = 1.0 / (dist + 1.0)
+    return (eta / np.sqrt((eta**2).sum())).astype(np.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("logits_fn", "n_queries", "p_init")
+)
+def square_attack_l2(
+    logits_fn: LogitsFn,
+    variables: Any,
+    x: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    *,
+    eps: float,
+    n_queries: int = 5000,
+    p_init: float = 0.8,
+) -> jax.Array:
+    """Square attack, L2 norm — single-window budget-recycling variant.
+
+    Faithful to the paper's core mechanics (pyramidal η bump placed in a
+    random square, perturbation renormalized to the ε sphere, margin-loss
+    acceptance); the reference's two-window mass-transfer refinement
+    (square.py L2 branch) improves query efficiency but not attack validity
+    and is left for a later round.
+    """
+    b, h, w, c = x.shape
+
+    def renorm(delta):
+        n = jnp.sqrt(jnp.sum(delta.reshape(b, -1) ** 2, 1) + 1e-12)
+        return delta * (eps / n).reshape(b, 1, 1, 1)
+
+    k0, key = jax.random.split(key)
+    init = jax.random.normal(k0, x.shape, x.dtype)
+    x_adv = jnp.clip(x + renorm(init), 0.0, 1.0)
+    logits = logits_fn(variables, x_adv)
+    margin, loss = margin_and_ce(logits, labels)
+
+    sizes = np.zeros(n_queries, np.int32)
+    for it in range(n_queries):
+        p = p_selection(p_init, it, n_queries)
+        s = int(round(np.sqrt(p * h * w / c)))
+        sizes[it] = max(min(s, h - 1), 3)
+    uniq = sorted(set(sizes.tolist()))
+    etas = {s: jnp.asarray(np.pad(_eta_pyramid(s), ((0, h - s), (0, w - s))))
+            for s in uniq}
+    eta_bank = jnp.stack([etas[s] for s in uniq])  # (U, h, w) top-left bumps
+    size_to_bank = np.array([uniq.index(s) for s in sizes], np.int32)
+    sizes_j = jnp.asarray(sizes)
+    bank_idx = jnp.asarray(size_to_bank)
+
+    rows = jnp.arange(h).reshape(1, h, 1, 1)
+    cols = jnp.arange(w).reshape(1, 1, w, 1)
+
+    def body(it, carry):
+        x_adv, margin, loss, key = carry
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        s = sizes_j[it]
+        eta = eta_bank[bank_idx[it]]  # (h, w), bump at top-left s×s
+        vh = jax.random.randint(k1, (b,), 0, h - s + 1)
+        vw = jax.random.randint(k2, (b,), 0, w - s + 1)
+        # roll the top-left bump to each sample's window position
+        eta_b = jnp.broadcast_to(eta, (b, h, w))
+        eta_b = jax.vmap(lambda e, dy, dx: jnp.roll(e, (dy, dx), (0, 1)))(
+            eta_b, vh, vw
+        )[..., None]
+        in_square = (
+            (rows >= vh.reshape(-1, 1, 1, 1))
+            & (rows < (vh + s).reshape(-1, 1, 1, 1))
+            & (cols >= vw.reshape(-1, 1, 1, 1))
+            & (cols < (vw + s).reshape(-1, 1, 1, 1))
+        )
+        sign = jax.random.rademacher(k3, (b, 1, 1, c), dtype=jnp.int32).astype(x.dtype)
+        delta = x_adv - x
+        # available budget = global leftover + the window's current mass
+        win_mass = jnp.sum((delta * in_square) ** 2, axis=(1, 2, 3))
+        total = jnp.sum(delta.reshape(b, -1) ** 2, 1)
+        avail = jnp.sqrt(jnp.maximum(eps**2 - total + win_mass, 1e-12))
+        new_win = sign * eta_b * avail.reshape(-1, 1, 1, 1)
+        cand_delta = jnp.where(in_square, new_win, delta)
+        x_cand = jnp.clip(x + renorm(cand_delta), 0.0, 1.0)
+
+        logits = logits_fn(variables, x_cand)
+        margin_c, loss_c = margin_and_ce(logits, labels)
+        accept = (margin_c < margin) & (margin > 0)
+        accept_t = accept.reshape(-1, 1, 1, 1)
+        x_adv = jnp.where(accept_t, x_cand, x_adv)
+        margin = jnp.where(accept, margin_c, margin)
+        loss = jnp.where(accept, loss_c, loss)
+        return x_adv, margin, loss, key
+
+    x_adv, margin, loss, _ = jax.lax.fori_loop(
+        0, n_queries, body, (x_adv, margin, loss, key)
+    )
+    return x_adv

@@ -171,3 +171,30 @@ def test_autoattack_versions():
     assert "apgd-t" in aa.attacks_to_run and aa.apgd_n_restarts == 5
     with pytest.raises(ValueError):
         AutoAttack(clf, version="bogus")
+
+
+def test_square_attack_l2(clf, batch):
+    from robustart_tpu.attacks.autoattack import square_attack_l2
+
+    x, y = batch
+    eps = 2.0
+    x_adv = square_attack_l2(
+        _fn(clf), clf.variables, jnp.asarray(x), jnp.asarray(y),
+        jax.random.key(0), eps=eps, n_queries=300,
+    )
+    x_adv = np.asarray(x_adv)
+    delta = (x_adv - x).reshape(len(x), -1)
+    norms = np.sqrt((delta**2).sum(1))
+    assert norms.max() <= eps + 1e-3
+    assert x_adv.min() >= 0 and x_adv.max() <= 1
+    pred = np.asarray(jnp.argmax(clf(jnp.asarray(x_adv)), 1))
+    assert (pred != y).sum() >= 1
+
+
+def test_autoattack_l2_cascade(clf, batch):
+    x, y = batch
+    aa = AutoAttack(clf, norm="L2", eps=1.0, version="standard", seed=0,
+                    n_iter=5, n_target_classes=1, square_n_queries=50)
+    x_adv = aa.run_standard_evaluation(x, y, bs=8)
+    delta = (x_adv - x).reshape(len(x), -1)
+    assert np.sqrt((delta**2).sum(1)).max() <= 1.0 * 1.001
