@@ -43,6 +43,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     attention_dropout: float = 0.0
     dropout: float = 0.0
+    softmax_fp32: bool = True  # fp32 softmax (safe default); bf16 is faster
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -55,7 +56,10 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
         scale = 1.0 / np.sqrt(head_dim)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.softmax_fp32:
+            attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+        else:
+            attn = jax.nn.softmax(attn, axis=-1)
         # expose attention maps for attention-rollout visualization
         # (reference grad_cam.sh drives prototype tools/inference.py
         # --attn_rollout; captured via mutable=['intermediates'])
@@ -74,6 +78,7 @@ class EncoderBlock(nn.Module):
     dropout: float = 0.0
     attention_dropout: float = 0.0
     drop_path: float = 0.0
+    softmax_fp32: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,6 +89,7 @@ class EncoderBlock(nn.Module):
             qkv_bias=self.qkv_bias,
             attention_dropout=self.attention_dropout,
             dropout=self.dropout,
+            softmax_fp32=self.softmax_fp32,
             dtype=self.dtype,
             name="attn",
         )(y, deterministic=deterministic)
@@ -109,6 +115,7 @@ class VisionTransformer(nn.Module):
     dropout: float = 0.0
     attention_dropout: float = 0.0
     drop_path: float = 0.0
+    softmax_fp32: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -146,6 +153,7 @@ class VisionTransformer(nn.Module):
                 dropout=self.dropout,
                 attention_dropout=self.attention_dropout,
                 drop_path=dp,
+                softmax_fp32=self.softmax_fp32,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, deterministic=deterministic)
