@@ -198,3 +198,35 @@ def test_autoattack_l2_cascade(clf, batch):
     x_adv = aa.run_standard_evaluation(x, y, bs=8)
     delta = (x_adv - x).reshape(len(x), -1)
     assert np.sqrt((delta**2).sum(1)).max() <= 1.0 * 1.001
+
+
+def test_l1_ball_box_projection():
+    from robustart_tpu.attacks.autoattack.apgd import l1_ball_box_projection
+
+    key = jax.random.key(0)
+    x0 = jax.random.uniform(key, (4, 6, 6, 3))
+    x_adv = x0 + jax.random.normal(jax.random.fold_in(key, 1), x0.shape) * 0.3
+    eps = 5.0
+    z = np.asarray(l1_ball_box_projection(x0, x_adv, eps))
+    l1 = np.abs(z - np.asarray(x0)).reshape(4, -1).sum(1)
+    assert l1.max() <= eps + 1e-3
+    assert z.min() >= 0 and z.max() <= 1
+    # projection is idempotent when already feasible
+    inside = x0 + 0.001
+    z2 = np.asarray(l1_ball_box_projection(x0, inside, eps))
+    np.testing.assert_allclose(z2, np.clip(np.asarray(inside), 0, 1), atol=1e-5)
+
+
+def test_apgd_l1(clf, batch):
+    x, y = batch
+    eps = 20.0
+    x_adv, _ = apgd_attack(
+        _fn(clf), clf.variables, jnp.asarray(x), jnp.asarray(y),
+        jax.random.key(0), eps=eps, norm="L1", loss="ce", n_iter=15,
+    )
+    x_adv = np.asarray(x_adv)
+    l1 = np.abs(x_adv - x).reshape(len(x), -1).sum(1)
+    assert l1.max() <= eps + 1e-2
+    assert x_adv.min() >= 0 and x_adv.max() <= 1
+    pred = np.asarray(jnp.argmax(clf(jnp.asarray(x_adv)), 1))
+    assert (pred != y).sum() >= 1
