@@ -166,23 +166,31 @@ class ResultWriter:
     def close(self) -> None:
         self._f.flush()
         self._f.close()
+        if self.world_size > 1:
+            # completion sentinel: merge must not read half-written shards
+            with open(self.shard_path + ".done", "w") as f:
+                f.write("done")
 
-    def merge(self) -> str:
+    def merge(self, timeout_s: float = 600.0) -> str:
         """rank 0: merge shards (call after all ranks closed; on one process
-        this is a no-op)."""
-        self.close() if not self._f.closed else None
+        this is a no-op). The filesystem is the barrier (reference-style,
+        SURVEY.md §5.8): each rank's ``.done`` sentinel signals completion."""
+        if not self._f.closed:
+            self.close()
         if self.world_size == 1:
             return self.path
         if self.rank != 0:
             return self.path
+        deadline = time.time() + timeout_s
         with open(self.path, "w") as out:
             for r in range(self.world_size):
                 shard = f"{self.path}.rank{r}"
-                # wait for shards (filesystem barrier, reference-style)
-                for _ in range(600):
-                    if osp.exists(shard):
-                        break
-                    time.sleep(0.5)
+                while not osp.exists(shard + ".done"):
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"rank {r} shard never completed: {shard}"
+                        )
+                    time.sleep(0.2)
                 with open(shard) as f:
                     out.write(f.read())
         return self.path
