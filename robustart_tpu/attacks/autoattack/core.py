@@ -79,7 +79,9 @@ class AutoAttack:
             self.apgd_n_restarts = 1
             self.eot_iter = 20
         elif version == "plus":
-            self.attacks_to_run = ["apgd-ce", "apgd-dlr", "fab-t", "square", "apgd-t"]
+            # reference plus set (autoattack.py:276-284)
+            self.attacks_to_run = ["apgd-ce", "apgd-dlr", "fab", "square",
+                                   "apgd-t", "fab-t"]
             self.apgd_n_restarts = 5
             self.eot_iter = 1
         else:
@@ -243,6 +245,14 @@ class AutoAttack:
                 if fooled.all():
                     break
             return x_out
+        if attack == "fab":
+            # untargeted FAB: per-iteration closest-boundary class
+            x_try, norms = fab_attack_targeted(
+                fn, variables, xj, yj, yj,  # targets unused when untargeted
+                key, eps=self.eps, norm=self.norm, n_iter=self.n_iter,
+                untargeted=True,
+            )
+            return np.asarray(x_try)
         if attack == "fab-t":
             x_out = np.asarray(x).copy()
             best_norm = np.full(x.shape[0], np.inf)

@@ -139,7 +139,7 @@ _PROJ = {"Linf": proj_plane_box_linf, "L2": proj_plane_box_l2, "L1": proj_plane_
 
 
 @functools.partial(
-    jax.jit, static_argnames=("logits_fn", "norm", "n_iter")
+    jax.jit, static_argnames=("logits_fn", "norm", "n_iter", "untargeted")
 )
 def fab_attack_targeted(
     logits_fn: LogitsFn,
@@ -155,26 +155,38 @@ def fab_attack_targeted(
     alpha_max: float = 0.1,
     eta: float = 1.05,
     beta: float = 0.9,
+    untargeted: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """One targeted FAB run. Returns (x_adv_best, best_norm) where
-    x_adv_best is the minimal-norm misclassified point found (x where none).
+    """One FAB run. Returns (x_adv_best, best_norm) where x_adv_best is the
+    minimal-norm misclassified point found (x where none).
+
+    ``untargeted=True`` re-selects the boundary class per iteration as the
+    currently most-likely non-true class (the reference's untargeted FAB
+    linearizes toward the closest decision boundary, fab_base.py:84+; the
+    per-iteration argmax surrogate avoids the C-class Jacobian).
     """
     b = x.shape[0]
     tail = (1,) * (x.ndim - 1)
     proj = _PROJ[norm]
 
     def f_and_grad(xi):
+        z0 = logits_fn(variables, xi)
+        if untargeted:
+            masked = z0.at[jnp.arange(b), labels].set(-jnp.inf)
+            tgt = jax.lax.stop_gradient(jnp.argmax(masked, 1))
+        else:
+            tgt = targets
+
         def f_sum(xx):
             z = logits_fn(variables, xx)
-            z_t = jnp.take_along_axis(z, targets[:, None], 1)[:, 0]
+            z_t = jnp.take_along_axis(z, tgt[:, None], 1)[:, 0]
             z_y = jnp.take_along_axis(z, labels[:, None], 1)[:, 0]
             return (z_t - z_y).sum()
 
         g = jax.grad(f_sum)(xi)
-        z = logits_fn(variables, xi)
-        z_t = jnp.take_along_axis(z, targets[:, None], 1)[:, 0]
-        z_y = jnp.take_along_axis(z, labels[:, None], 1)[:, 0]
-        pred = jnp.argmax(z, 1)
+        z_t = jnp.take_along_axis(z0, tgt[:, None], 1)[:, 0]
+        z_y = jnp.take_along_axis(z0, labels[:, None], 1)[:, 0]
+        pred = jnp.argmax(z0, 1)
         return z_t - z_y, g, pred
 
     x_i = x

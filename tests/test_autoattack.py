@@ -230,3 +230,23 @@ def test_apgd_l1(clf, batch):
     assert x_adv.min() >= 0 and x_adv.max() <= 1
     pred = np.asarray(jnp.argmax(clf(jnp.asarray(x_adv)), 1))
     assert (pred != y).sum() >= 1
+
+
+def test_fab_untargeted(clf, batch):
+    x, y = batch
+    x_adv, norms = fab_attack_targeted(
+        _fn(clf), clf.variables, jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(y), jax.random.key(0), eps=0.3, norm="Linf",
+        n_iter=10, untargeted=True,
+    )
+    x_adv = np.asarray(x_adv)
+    assert np.abs(x_adv - x).max() <= 0.3 + 1e-5
+    assert np.isfinite(x_adv).all()
+
+
+def test_plus_version_attack_set():
+    clf2 = init_classifier("t3", TinyNet(), rng=2, input_size=SIZE,
+                           num_classes=N_CLASSES)
+    aa = AutoAttack(clf2, version="plus")
+    assert aa.attacks_to_run == ["apgd-ce", "apgd-dlr", "fab", "square",
+                                 "apgd-t", "fab-t"]
