@@ -44,6 +44,7 @@ class Attention(nn.Module):
     attention_dropout: float = 0.0
     dropout: float = 0.0
     softmax_fp32: bool = True  # fp32 softmax (safe default); bf16 is faster
+    attention_impl: str = "xla"  # 'xla' einsums | 'pallas' fused VMEM kernel
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -55,17 +56,25 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
         scale = 1.0 / np.sqrt(head_dim)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        if self.softmax_fp32:
-            attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+        if self.attention_impl == "pallas" and deterministic:
+            # fused VMEM attention: no (B, H, N, N) tensor in HBM, fp32
+            # softmax inside the kernel (ops/pallas_attention.py); eval only
+            # (dropout on attention weights needs the XLA path)
+            from robustart_tpu.ops.pallas_attention import mha_pallas
+
+            out = mha_pallas(q, k, v).reshape(b, n, c)
         else:
-            attn = jax.nn.softmax(attn, axis=-1)
-        # expose attention maps for attention-rollout visualization
-        # (reference grad_cam.sh drives prototype tools/inference.py
-        # --attn_rollout; captured via mutable=['intermediates'])
-        self.sow("intermediates", "attn_weights", attn)
-        attn = nn.Dropout(self.attention_dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            if self.softmax_fp32:
+                attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+            else:
+                attn = jax.nn.softmax(attn, axis=-1)
+            # expose attention maps for attention-rollout visualization
+            # (reference grad_cam.sh drives prototype tools/inference.py
+            # --attn_rollout; captured via mutable=['intermediates'])
+            self.sow("intermediates", "attn_weights", attn)
+            attn = nn.Dropout(self.attention_dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
@@ -79,6 +88,7 @@ class EncoderBlock(nn.Module):
     attention_dropout: float = 0.0
     drop_path: float = 0.0
     softmax_fp32: bool = True
+    attention_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,6 +100,7 @@ class EncoderBlock(nn.Module):
             attention_dropout=self.attention_dropout,
             dropout=self.dropout,
             softmax_fp32=self.softmax_fp32,
+            attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="attn",
         )(y, deterministic=deterministic)
@@ -116,6 +127,7 @@ class VisionTransformer(nn.Module):
     attention_dropout: float = 0.0
     drop_path: float = 0.0
     softmax_fp32: bool = True
+    attention_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -154,6 +166,7 @@ class VisionTransformer(nn.Module):
                 attention_dropout=self.attention_dropout,
                 drop_path=dp,
                 softmax_fp32=self.softmax_fp32,
+                attention_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, deterministic=deterministic)
