@@ -41,14 +41,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def mha_pallas(
-    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
-) -> jax.Array:
-    """(B, N, H, D) q/k/v → (B, N, H, D) attention output.
-
-    One Pallas program per (batch, head); inputs are laid out (B·H, N, D)
-    for the kernel (a cheap transpose vs. the saved N² HBM traffic).
-    """
+def _mha_impl(q, k, v, interpret: bool = False):
     b, n, h, d = q.shape
     scale = 1.0 / np.sqrt(d)
 
@@ -73,3 +66,46 @@ def mha_pallas(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(qf, kf, vf)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mha(q, k, v, interpret):
+    return _mha_impl(q, k, v, interpret=interpret)
+
+
+def _mha_fwd(q, k, v, interpret):
+    return _mha_impl(q, k, v, interpret=interpret), (q, k, v)
+
+
+def _mha_bwd(interpret, residuals, g):
+    """Backward via the standard attention gradients (XLA einsums) —
+    attacks differentiate through the fused forward transparently."""
+    del interpret
+    q, k, v = residuals
+    d = q.shape[-1]
+    scale = 1.0 / np.sqrt(d)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    p = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(q.dtype)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g, v)
+    tmp = dp * p
+    ds = tmp - p * jnp.sum(tmp, axis=-1, keepdims=True)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q) * scale
+    return dq, dk, dv
+
+
+_mha.defvjp(_mha_fwd, _mha_bwd)
+
+
+def mha_pallas(
+    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """(B, N, H, D) q/k/v → (B, N, H, D) attention output.
+
+    One Pallas program per (batch, head); inputs are laid out (B·H, N, D)
+    for the kernel (a cheap transpose vs. the saved N² HBM traffic).
+    Differentiable: the custom VJP recomputes the standard einsum gradients,
+    so whitebox attacks work through the fused forward.
+    """
+    return _mha(q, k, v, interpret)

@@ -39,3 +39,23 @@ def test_vit_pallas_option_cpu_interpretable():
 
     m = get_model("vit_b16_224", attention_impl="pallas")
     assert m.attention_impl == "pallas"
+
+
+def test_mha_pallas_gradients_match_einsum():
+    rng = np.random.default_rng(3)
+    b, n, h, d = 1, 64, 2, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def loss_pallas(q, k, v):
+        return mha_pallas(q, k, v, interpret=not ON_TPU).sum()
+
+    def loss_ref(q, k, v):
+        return _ref(q, k, v).sum()
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
