@@ -12,6 +12,7 @@ from robustart_tpu.attacks.autoattack.apgd import (
 from robustart_tpu.attacks.autoattack.core import AutoAttack
 from robustart_tpu.attacks.autoattack.fab import fab_attack_targeted
 from robustart_tpu.attacks.autoattack.square import (
+    square_attack_l1,
     square_attack_l2,
     square_attack_linf,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "fab_attack_targeted",
     "square_attack_linf",
     "square_attack_l2",
+    "square_attack_l1",
     "dlr_loss",
     "dlr_loss_targeted",
 ]

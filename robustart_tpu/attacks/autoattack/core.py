@@ -35,6 +35,7 @@ import numpy as np
 from robustart_tpu.attacks.autoattack.apgd import apgd_attack
 from robustart_tpu.attacks.autoattack.fab import fab_attack_targeted
 from robustart_tpu.attacks.autoattack.square import (
+    square_attack_l1,
     square_attack_l2,
     square_attack_linf,
 )
@@ -57,7 +58,8 @@ class AutoAttack:
         n_target_classes: int = 9,
         square_n_queries: int = 5000,
     ):
-        assert norm in ("Linf", "L2"), norm
+        # reference autoattack.py:32 accepts Linf/L2/L1
+        assert norm in ("Linf", "L2", "L1"), norm
         self.model = model
         self.norm = norm
         self.eps = float(eps)
@@ -122,7 +124,12 @@ class AutoAttack:
         return targets
 
     # -- cascade --
-    def run_standard_evaluation(self, x, y, bs: int = 250) -> np.ndarray:
+    def run_standard_evaluation(
+        self, x, y, bs: int = 250, attacks_to_run: list[str] | None = None
+    ) -> np.ndarray:
+        attacks = (
+            self.attacks_to_run if attacks_to_run is None else attacks_to_run
+        )
         x = np.asarray(x, np.float32)
         y = np.asarray(y)
         n = x.shape[0]
@@ -138,7 +145,7 @@ class AutoAttack:
             logger.info("initial accuracy: %.2f%%", 100 * robust.mean())
 
         key = jax.random.key(self.seed)
-        for attack in self.attacks_to_run:
+        for attack in attacks:
             if not robust.any():
                 break
             t0 = time.time()
@@ -166,6 +173,8 @@ class AutoAttack:
                 delta = x_try - x[sel]
                 if self.norm == "Linf":
                     norms = np.abs(delta).reshape(len(sel), -1).max(1)
+                elif self.norm == "L1":
+                    norms = np.abs(delta).reshape(len(sel), -1).sum(1)
                 else:
                     norms = np.sqrt((delta.reshape(len(sel), -1) ** 2).sum(1))
                 ok = (norms <= self.eps * 1.001) & np.isfinite(
@@ -188,14 +197,15 @@ class AutoAttack:
         return x_adv
 
     def run_standard_evaluation_individual(self, x, y, bs: int = 250) -> dict:
-        """Per-attack adversarial sets (reference autoattack.py:227-247)."""
-        out = {}
-        all_attacks = self.attacks_to_run
-        for attack in all_attacks:
-            self.attacks_to_run = [attack]
-            out[attack] = self.run_standard_evaluation(x, y, bs=bs)
-        self.attacks_to_run = all_attacks
-        return out
+        """Per-attack adversarial sets (reference autoattack.py:227-247).
+
+        Reentrant: does not mutate ``self.attacks_to_run``."""
+        return {
+            attack: self.run_standard_evaluation(
+                x, y, bs=bs, attacks_to_run=[attack]
+            )
+            for attack in self.attacks_to_run
+        }
 
     def _run_one(self, attack: str, x, y, key) -> np.ndarray:
         fn = self._logits_fn
@@ -269,7 +279,11 @@ class AutoAttack:
                 best_norm = np.minimum(best_norm, norms)
             return x_out
         if attack == "square":
-            square = square_attack_linf if self.norm == "Linf" else square_attack_l2
+            square = {
+                "Linf": square_attack_linf,
+                "L2": square_attack_l2,
+                "L1": square_attack_l1,
+            }[self.norm]
             return np.asarray(
                 square(
                     fn, variables, xj, yj, key,

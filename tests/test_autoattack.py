@@ -250,3 +250,60 @@ def test_plus_version_attack_set():
     aa = AutoAttack(clf2, version="plus")
     assert aa.attacks_to_run == ["apgd-ce", "apgd-dlr", "fab", "square",
                                  "apgd-t", "fab-t"]
+
+
+def test_eta_l1_construction():
+    """η^(s) L1: unit L1 mass, antisymmetric halves (reference
+    square.py:173-186), rectangles have 1/(k+1)^4 decay."""
+    from robustart_tpu.attacks.autoattack.square import _eta_l1
+
+    for s in (3, 5, 7, 13):
+        eta = _eta_l1(s)
+        assert eta.shape == (s, s)
+        np.testing.assert_allclose(np.abs(eta).sum(), 1.0, rtol=1e-5)
+        assert (eta[: s // 2] >= 0).all() and (eta[s // 2 :] <= 0).all()
+
+
+def test_square_attack_l1(clf, batch):
+    from robustart_tpu.attacks.autoattack import square_attack_l1
+
+    x, y = batch
+    eps = 25.0  # reference L1 default scale: eps 1600 at 224² ≈ 25 at 16²
+    x_adv = square_attack_l1(
+        _fn(clf), clf.variables, jnp.asarray(x), jnp.asarray(y),
+        jax.random.key(0), eps=eps, n_queries=300,
+    )
+    x_adv = np.asarray(x_adv)
+    l1 = np.abs(x_adv - x).reshape(len(x), -1).sum(1)
+    assert l1.max() <= eps + 1e-2
+    assert x_adv.min() >= 0 and x_adv.max() <= 1
+    assert np.isfinite(x_adv).all()
+    # the init alone already perturbs: x_adv must differ from x
+    assert l1.min() > 0
+    pred = np.asarray(jnp.argmax(clf(jnp.asarray(x_adv)), 1))
+    assert (pred != y).sum() >= 1
+
+
+def test_autoattack_l1_cascade(clf, batch):
+    """Full L1 cascade (APGD-L1 + APGD-T-L1 + FAB-T-L1 + Square-L1), jitted;
+    L1 containment verified (reference autoattack.py:32 allows norm='L1';
+    PGD-L1 budget convention eps=1600 @224², add_noise_utils.py:13)."""
+    x, y = batch
+    eps = 20.0
+    aa = AutoAttack(clf, norm="L1", eps=eps, version="standard", seed=0,
+                    n_iter=5, n_target_classes=1, square_n_queries=50)
+    clean_acc = aa.clean_accuracy(x, y)
+    x_adv = aa.run_standard_evaluation(x, y, bs=8)
+    l1 = np.abs(x_adv - x).reshape(len(x), -1).sum(1)
+    assert l1.max() <= eps * 1.001
+    assert aa.clean_accuracy(x_adv, y) < clean_acc
+
+
+def test_individual_mode_is_reentrant(clf, batch):
+    x, y = batch
+    aa = AutoAttack(clf, norm="Linf", eps=EPS, version="standard", seed=0,
+                    n_iter=3, n_target_classes=1, square_n_queries=20)
+    before = list(aa.attacks_to_run)
+    out = aa.run_standard_evaluation_individual(x, y, bs=8)
+    assert set(out) == set(before)
+    assert aa.attacks_to_run == before
