@@ -60,7 +60,7 @@ def _channel_ids(rows: int, row_offset) -> jax.Array:
 
 
 def _make_kernel(noise: str, sigma: float, mean: Sequence[float],
-                 std: Sequence[float], rows: int):
+                 std: Sequence[float], rows: int, output: str = "normalized"):
     m = [float(v) for v in mean]
     s = [float(v) for v in std]
 
@@ -86,7 +86,15 @@ def _make_kernel(noise: str, sigma: float, mean: Sequence[float],
             raise ValueError(noise)
         x = jnp.clip(x, 0.0, 1.0)
         # quantize through the uint8 grid like stored ImageNet-C
-        x = jnp.floor(x * 255.0) * (1.0 / 255.0)
+        k = jnp.floor(x * 255.0)
+        if output == "centered_u8":
+            # int8 stem-input grid (k−128) for the quantized eval path
+            # (robustart_tpu/models/quantize.py: the normalization constants
+            # are folded into the int8 stem weights — emitting the raw grid
+            # is exact)
+            o_ref[:] = (k.astype(jnp.int32) - 128).astype(o_ref.dtype)
+            return
+        x = k * (1.0 / 255.0)
         ch = _channel_ids(rows, 0)
         mean_v = jnp.where(ch == 0, m[0], jnp.where(ch == 1, m[1], m[2]))
         std_v = jnp.where(ch == 0, s[0], jnp.where(ch == 1, s[1], s[2]))
@@ -97,7 +105,9 @@ def _make_kernel(noise: str, sigma: float, mean: Sequence[float],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("noise", "sigma", "mean", "std", "out_dtype", "interpret"),
+    static_argnames=(
+        "noise", "sigma", "mean", "std", "out_dtype", "interpret", "output"
+    ),
 )
 def fused_noise_normalize(
     images_u8: jax.Array,
@@ -109,11 +119,16 @@ def fused_noise_normalize(
     std: tuple = (0.229, 0.224, 0.225),
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    output: str = "normalized",
 ) -> jax.Array:
     """(B, H, W, 3) uint8 → (B, H, W, 3) normalized ``out_dtype``.
 
     One Pallas program per image; requires H·W·3 % 128 == 0 (true for
     224/64/32-sized RGB images).
+
+    ``output='centered_u8'`` instead emits the corrupted image as
+    ``int8 = uint8_grid − 128`` (no normalization) — the exact input of the
+    int8 quantized eval path (models/quantize.py). Pass ``out_dtype=jnp.int8``.
     """
     b, h, w, c = images_u8.shape
     flat = h * w * c
@@ -122,7 +137,7 @@ def fused_noise_normalize(
     x = images_u8.reshape(b, rows, LANES)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
-    kernel = _make_kernel(noise, float(sigma), mean, std, rows)
+    kernel = _make_kernel(noise, float(sigma), mean, std, rows, output)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -1,0 +1,97 @@
+"""int8 PTQ eval path: BN-folding exactness + int8-vs-float agreement.
+
+Golden semantics: the folded float network must reproduce the eval-mode
+Flax forward exactly (same math, reassociated); the int8 network must agree
+with the float network on argmax for the overwhelming majority of inputs
+and keep high logit cosine similarity. Reference has no quantized path —
+this is a TPU-native addition (see robustart_tpu/models/quantize.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustart_tpu.models import create_classifier
+from robustart_tpu.models.quantize import (
+    _calib_forward,
+    _fold_all,
+    _resnet_spec,
+    quantize_classifier,
+)
+
+
+def _make_clf(name="resnet18_official", size=64):
+    clf = create_classifier(name, rng=0, input_size=size)
+    # randomize BN stats so folding is non-trivial (init is mean=0, var=1)
+    rng = np.random.default_rng(1)
+
+    def jitter(path, leaf):
+        key = "/".join(str(p.key) for p in path)
+        if key.endswith("mean"):
+            return leaf + jnp.asarray(
+                rng.normal(0, 0.1, leaf.shape), leaf.dtype
+            )
+        if key.endswith("var"):
+            return leaf * jnp.asarray(
+                rng.uniform(0.5, 2.0, leaf.shape), leaf.dtype
+            )
+        return leaf
+
+    stats = jax.tree_util.tree_map_with_path(
+        jitter, clf.variables["batch_stats"]
+    )
+    clf.variables = {"params": clf.variables["params"], "batch_stats": stats}
+    return clf
+
+
+def test_fold_matches_bn_forward():
+    clf = _make_clf()
+    folded, blocks = _fold_all(clf.variables, clf.module)
+    _, head_site = _resnet_spec(clf.module)
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+    x01 = jnp.asarray(images, jnp.float32) / 255.0
+
+    ref_logits = clf.apply_fn(clf.variables, x01, train=False)
+
+    from robustart_tpu.models.layers import normalize_01
+
+    feats, _ = _calib_forward(
+        folded, blocks, head_site, normalize_01(x01, clf.mean, clf.std)
+    )
+    fc = clf.variables["params"]["fc"]
+    logits = jnp.mean(feats, axis=(1, 2)) @ fc["kernel"] + fc["bias"]
+    np.testing.assert_allclose(logits, ref_logits, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("name", ["resnet18_official", "resnet50_official"])
+def test_int8_agrees_with_float(name):
+    clf = _make_clf(name)
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, 256, (64, 64, 64, 3), np.uint8)
+    qclf = quantize_classifier(clf, calib, calib_batch_size=32)
+
+    images = rng.integers(0, 256, (32, 64, 64, 3), np.uint8)
+    x01 = jnp.asarray(images, jnp.float32) / 255.0
+    ref = np.asarray(clf.apply_fn(clf.variables, x01, train=False))
+    got = np.asarray(qclf(jnp.asarray(images)))
+
+    cos = np.sum(ref * got, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1) + 1e-12
+    )
+    assert cos.min() > 0.98, f"logit cosine too low: {cos.min()}"
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree >= 0.9, f"argmax agreement {agree}"
+
+
+def test_float01_input_equals_uint8_input():
+    clf = _make_clf()
+    rng = np.random.default_rng(2)
+    calib = rng.integers(0, 256, (32, 64, 64, 3), np.uint8)
+    qclf = quantize_classifier(clf, calib, calib_batch_size=32)
+    images = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+    a = np.asarray(qclf(jnp.asarray(images)))
+    b = np.asarray(qclf(jnp.asarray(images, jnp.float32) / 255.0))
+    np.testing.assert_array_equal(a, b)
