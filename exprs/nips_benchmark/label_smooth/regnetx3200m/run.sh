@@ -1,0 +1,2 @@
+#!/bin/bash
+python -u -m robustart_tpu.solvers.cls_solver --config config.yaml "$@"

@@ -75,6 +75,12 @@ class ClsSolver(Solver):
             seed=int(cfg.get("seed", 0)),
         )
         steps_per_epoch = len(loader0)
+        if "max_epoch" not in lr_kwargs and "max_iter" in lr_kwargs:
+            # iteration-budgeted recipes (reference exp/models/.../config.yaml:
+            # Step scheduler with max_iter 125000, no max_epoch)
+            max_epoch = max(
+                -(-int(lr_kwargs["max_iter"]) // max(steps_per_epoch, 1)), 1
+            )
         schedule = build_schedule(cfg.lr_scheduler, steps_per_epoch)
         tx = build_optimizer(cfg.optimizer, schedule)
 

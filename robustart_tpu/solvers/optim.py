@@ -99,6 +99,27 @@ def build_schedule(lr_cfg, steps_per_epoch: int) -> optax.Schedule:
             warmup_lr=kw.get("warmup_lr"),
             warmup_epoch=float(kw.get("warmup_epoch", 0)),
         )
+    if kind == "Step":
+        # iteration-based variant (reference
+        # exprs/exp/models/resnet18_batch1k_epoch100_nesterov_wd0.0001/
+        # config.yaml:18-26: lr_steps/lr_mults + warmup_steps/max_iter)
+        boundaries = [int(s) for s in kw.get("lr_steps", [])]
+        mults = list(kw.get("lr_mults", [0.1] * len(boundaries)))
+        base_lr = float(kw.get("base_lr", 0.1))
+        peak = float(kw.get("warmup_lr", base_lr))
+        warmup_steps = int(kw.get("warmup_steps", 0))
+
+        def schedule(step):
+            step = jnp.asarray(step, jnp.float32)
+            lr = jnp.asarray(peak, jnp.float32)
+            for b, m in zip(boundaries, mults):
+                lr = jnp.where(step >= b, lr * m, lr)
+            if warmup_steps > 0:
+                warm = base_lr + (peak - base_lr) * (step / warmup_steps)
+                lr = jnp.where(step < warmup_steps, warm, lr)
+            return lr
+
+        return schedule
     raise ValueError(f"unknown lr_scheduler type {kind!r}")
 
 

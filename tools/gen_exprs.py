@@ -46,13 +46,13 @@ BASELINE_MODELS = {
     "regnetx/regnetx_6400m": ("regnetx_6400m", {}, 32),
     "repvgg/repvgg_A0": ("repvgg_A0", {}, 32),
     "repvgg/repvgg_B3": ("repvgg_B3", {}, 32),
-    "vit/vit_b16_224": (
+    "vit/vit_base_patch16_224": (
         "vit_b16_224",
         {"drop_path": 0.0, "dropout": 0.0, "attention_dropout": 0.0,
          "qkv_bias": True},
         32,
     ),
-    "vit/vit_b32_224": (
+    "vit/vit_base_patch32_224": (
         "vit_b32_224",
         {"drop_path": 0.0, "dropout": 0.0, "attention_dropout": 0.0,
          "qkv_bias": True},
@@ -64,13 +64,21 @@ BASELINE_MODELS = {
     "mlp_mixer/mixer_b16_224": ("mixer_b16_224", {"drop_path": 0.0}, 32),
     "mlp_mixer/mixer_L16_224": ("mixer_L16_224", {"drop_path": 0.0}, 32),
 }
+# plain + nodrop efficientnet trees, incl. the larger-input-size variants
+# (reference exprs/robust_baseline_exp/efficientnet{,_nodrop}/ listing)
+_EFFNET_SIZES = {1: 240, 2: 260, 3: 300, 4: 380, 5: 456, 6: 528, 7: 600}
 for i in range(8):
     BASELINE_MODELS[f"efficientnet/efficientnet_b{i}"] = (
         f"efficientnet_b{i}", {}, 32,
     )
-    BASELINE_MODELS[f"efficientnet/efficientnet_b{i}_nodrop"] = (
+    BASELINE_MODELS[f"efficientnet_nodrop/efficientnet_b{i}_nodrop"] = (
         f"efficientnet_b{i}_nodrop", {}, 32,
     )
+    if i in _EFFNET_SIZES:
+        size = _EFFNET_SIZES[i]
+        BASELINE_MODELS[
+            f"efficientnet_nodrop/efficientnet_b{i}_nodrop_{size}"
+        ] = (f"efficientnet_b{i}_nodrop", {"input_size": size}, 16)
 
 MOBILENET_V3_SCALES = [0.35, 0.5, 0.75, 1.0, 1.4]
 for s in MOBILENET_V3_SCALES:
@@ -80,6 +88,9 @@ for s in MOBILENET_V3_SCALES:
 
 
 def base_config(model_type, kwargs, batch_size, read_from="fs"):
+    kwargs = dict(kwargs)
+    input_size = int(kwargs.pop("input_size", 224))
+    test_resize = round(input_size * 8 / 7)  # reference val resize ratio
     return {
         "model": {"type": model_type, "kwargs": {
             **kwargs, "bn": {"use_sync_bn": False, "kwargs": {}},
@@ -104,8 +115,8 @@ def base_config(model_type, kwargs, batch_size, read_from="fs"):
             "use_dali": False,
             "batch_size": batch_size,
             "num_workers": 8,
-            "input_size": 224,
-            "test_resize": 256,
+            "input_size": input_size,
+            "test_resize": test_resize,
             "train": {
                 "root_dir": f"{DATA_ROOT}/images/train/",
                 "meta_file": f"{DATA_ROOT}/images/meta/train.txt",
@@ -171,11 +182,32 @@ def main():
           RUN_SH)
 
     # ImageNet-21k pretraining (reference imagenet_21k_exp: num_classes 21841,
-    # ranked_iteration sampler — 21k_resnet50/config.yaml:4,53)
-    cfg21k = base_config("resnet50_official", {"num_classes": 21841}, 32)
-    cfg21k["data"]["train"]["sampler"]["type"] = "ranked_iteration"
-    d = osp.join(ROOT, "robust_baseline_exp", "imagenet_21k_exp", "21k_resnet50")
-    write(osp.join(d, "config.yaml"), cfg21k)
+    # ranked_iteration sampler — 21k_resnet50/config.yaml:4,53; full dir
+    # listing: 21k_{resnet50, mobilenet_v3_large_x1_4, regnetx_3200m,
+    # shufflenetv2_2.0, vit_base_patch16_224})
+    MODELS_21K = {
+        "21k_resnet50": ("resnet50_official", {}),
+        "21k_mobilenet_v3_large_x1_4": (
+            "mobilenet_v3", {"scale": 1.4, "dropout": 0.0, "mode": "large"}),
+        "21k_regnetx_3200m": ("regnetx_3200m", {}),
+        "21k_shufflenetv2_2.0": ("shufflenet_v2_x2_0", {}),
+        "21k_vit_base_patch16_224": ("vit_b16_224", {"qkv_bias": True}),
+    }
+    for dname, (mtype, kwargs) in MODELS_21K.items():
+        cfg21k = base_config(mtype, {**kwargs, "num_classes": 21841}, 32)
+        cfg21k["data"]["train"]["sampler"]["type"] = "ranked_iteration"
+        d = osp.join(ROOT, "robust_baseline_exp", "imagenet_21k_exp", dname)
+        write(osp.join(d, "config.yaml"), cfg21k)
+        write(osp.join(d, "run.sh"), RUN_SH)
+
+    # 21k smoke-eval config (reference robust_baseline_exp/Test/21k_resnet50)
+    t21k = base_config(
+        "resnet50_official", {"num_classes": 21841}, 8, read_from="fake"
+    )
+    t21k["data"]["fake_size"] = 64
+    t21k["data"]["train"]["sampler"]["type"] = "ranked_iteration"
+    d = osp.join(ROOT, "robust_baseline_exp", "Test", "21k_resnet50")
+    write(osp.join(d, "config.yaml"), t21k)
     write(osp.join(d, "run.sh"), RUN_SH)
 
     # batch eval via eval_list (reference exprs/exp/swin/config.yaml:8-10) —
@@ -211,9 +243,18 @@ def main():
     write(osp.join(ROOT, "exp", "swin_2", "eval.sh"),
           EVAL_SH.format(solver="cls_solver", config="config.yaml"))
 
-    # eval loops (reference exprs/exp/)
+    # eval loops (reference exprs/exp/: one config per eval model — the 8
+    # newer-model configs from exp/imagenet-a_o-loop/ listing, plus our
+    # resnet50/mixer extras for smoke coverage)
     loop_models = {
         "vit_base": ("vit_base", {"qkv_bias": True}),
+        "vit_base_cvst": ("vit_base_cvst", {}),
+        "convnext_base": ("convnext_base", {}),
+        "convnext_base_cvst": ("convnext_base_cvst", {}),
+        "convnextv2_base": ("convnextv2_base", {}),
+        "clip_openai": ("clip_vit_l_14", {}),
+        "clip_fare2": ("clip_vit_l_14_fare2_clip", {}),
+        "clip_tecoa2": ("clip_vit_l_14_tecoa2_clip", {}),
         "resnet50": ("resnet50_official", {}),
         "mixer_b16": ("mixer_b16_224", {}),
     }
@@ -274,11 +315,34 @@ def main():
             },
         },
     }
+    # arch lists per technique match the reference dir listings
+    # (nips_benchmark/{augmentation,ema,label_smooth}/: 6 archs;
+    # pgd_adv_train/: those + vit_base + convnext_base + convnextv2;
+    # new_adv_train/: vit_base + convnext_base + convnextv2)
+    COMMON_ABLATION_ARCHS = [
+        ("resnet50", ("resnet50_official", {}, 32)),
+        ("mixer_B16_224", ("mixer_b16_224", {"drop_path": 0.0}, 32)),
+        ("mobilenet_v3_large_x1_4",
+         ("mobilenet_v3", {"scale": 1.4, "dropout": 0.0, "mode": "large"}, 32)),
+        ("regnetx3200m", ("regnetx_3200m", {}, 32)),
+        ("shufflenet_v2_x2_0", ("shufflenet_v2_x2_0", {}, 32)),
+        ("vit_base_patch16_224",
+         ("vit_b16_224", {"drop_path": 0.0, "qkv_bias": True}, 32)),
+    ]
+    NEW_ARCHS = [
+        ("vit_base", ("vit_base", {"qkv_bias": True}, 32)),
+        ("convnext_base", ("convnext_base", {"num_classes": 1000}, 32)),
+        ("convnextv2", ("convnextv2_base", {"num_classes": 1000}, 32)),
+    ]
+    TECH_ARCHS = {
+        "augmentation": COMMON_ABLATION_ARCHS,
+        "ema": COMMON_ABLATION_ARCHS,
+        "label_smooth": COMMON_ABLATION_ARCHS,
+        "pgd_adv_train": COMMON_ABLATION_ARCHS + NEW_ARCHS,
+        "new_adv_train": [COMMON_ABLATION_ARCHS[0]] + NEW_ARCHS,
+    }
     for tech, overrides in techniques.items():
-        for arch, (mtype, kwargs, bs) in [
-            ("resnet50", ("resnet50_official", {}, 32)),
-            ("vit_base", ("vit_base", {"qkv_bias": True}, 32)),
-        ]:
+        for arch, (mtype, kwargs, bs) in TECH_ARCHS[tech]:
             cfg = base_config(mtype, kwargs, bs)
             cfg.update({k: v for k, v in overrides.items()})
             d = osp.join(ROOT, "nips_benchmark", tech, arch)
@@ -317,8 +381,270 @@ def main():
     write(osp.join(adv_dir, "config.yaml"), cfg)
     write(osp.join(adv_dir, "eval.sh"), "\n".join(lines) + "\n")
 
+    _gen_adv_eval_groups()
+    _gen_exp_extras()
+
     count = sum(len(files) for _, _, files in os.walk(ROOT))
     print(f"generated {count} files under {ROOT}")
+
+
+# the eps grid shared by the adv-eval scripts (reference
+# nips_benchmark/new_adv_eval/eval.sh:13-16: eps_small/mid/large per attack)
+ADV_GRID = [
+    ("fgsm", ["0.5/255", "2/255", "8/255"]),
+    ("pgd_linf", ["0.5/255", "2/255", "8/255"]),
+    ("autoattack_linf", ["0.5/255", "2/255", "8/255"]),
+    ("mim_linf", ["0.5/255", "2/255", "8/255"]),
+    ("pgd_l2", ["0.5", "2.0", "8.0"]),
+    ("pgd_l1", ["100.0", "400.0", "1600.0"]),
+]
+
+# the newer-model eval set (reference new_adv_eval/eval.sh:18-27 model_names)
+NEW_EVAL_MODELS = [
+    "convnext_base", "convnextv2_base", "convnext_base_cvst",
+    "vit_base", "vit_base_cvst",
+    "clip_vit_l_14", "clip_vit_l_14_fare2_clip", "clip_vit_l_14_tecoa2_clip",
+]
+
+
+def _src_tgt_config(src="resnet50_official", tgt="resnet50_official"):
+    """config.yaml with model_src/model_tgt (reference
+    nips_benchmark/adv_eval/config.yaml:1-14 vocabulary)."""
+    cfg = base_config(src, {}, 32)
+    model = cfg.pop("model")
+    tgt_model = {"type": tgt, "kwargs": dict(model["kwargs"])}
+    return {"model_src": model, "model_tgt": tgt_model, **cfg}
+
+
+def _bash_model_loop(models, body, header=""):
+    lines = ["#!/bin/bash", "# idempotent: a finished dir has results.txt.all",
+             header]
+    lines.append("model_names=(" + " ".join(f"'{m}'" for m in models) + ")")
+    lines.append('CKPT_DIR=${ROBUSTART_CKPT:-"${ROBUSTART_DATA:-/data/robustart}/ckpt"}')
+    lines.append("for name in \"${model_names[@]}\"; do")
+    lines.append(body)
+    lines.append("done")
+    return "\n".join(l for l in lines if l) + "\n"
+
+
+def _gen_adv_eval_groups():
+    """adv_eval / new_adv_eval / batch_eval_transfer / new_transfer / test
+    (reference nips_benchmark/{adv_eval,new_adv_eval,batch_eval_transfer,
+    new_transfer,test}/)."""
+    # ---- adv_eval: single-model attack sweep over the baseline zoo
+    d = osp.join(ROOT, "nips_benchmark", "adv_eval")
+    write(osp.join(d, "config.yaml"), _src_tgt_config())
+    grid_lines = []
+    for attack, epss in ADV_GRID:
+        for eps in epss:
+            grid_lines.append(
+                "  python -u -m robustart_tpu.solvers.benchmark_eval_adv "
+                "--config config.yaml --src_name $name "
+                '--src_path "$CKPT_DIR/$name.pth.tar" '
+                "--tgt_name $name --tgt_path \"$CKPT_DIR/$name.pth.tar\" "
+                f"--attack {attack} --eps {eps}"
+            )
+    write(
+        osp.join(d, "eval.sh"),
+        _bash_model_loop(
+            ["resnet50_official", "vit_b16_224", "mixer_b16_224"],
+            "\n".join(grid_lines),
+            header="# attack x eps sweep per model "
+            "(reference adv_eval/eval.sh grid)",
+        ),
+    )
+    # 4-line ckpt key inspector (reference nips_benchmark/adv_eval/test.py:1-4)
+    write(
+        osp.join(d, "test.py"),
+        "import sys\n\n"
+        "from robustart_tpu.tools.inspect_ckpt import main\n\n"
+        "main(sys.argv[1:])\n",
+    )
+
+    # ---- new_adv_eval: the 8 newer models
+    d = osp.join(ROOT, "nips_benchmark", "new_adv_eval")
+    write(osp.join(d, "config.yaml"), _src_tgt_config("convnext_base"))
+    grid_lines = []
+    for attack, epss in ADV_GRID:
+        for eps in epss:
+            grid_lines.append(
+                "  python -u -m robustart_tpu.solvers.benchmark_eval_adv "
+                "--config config.yaml --src_name $name "
+                '--src_path "$CKPT_DIR/$name.pth.tar" '
+                "--tgt_name $name --tgt_path \"$CKPT_DIR/$name.pth.tar\" "
+                f"--attack {attack} --eps {eps}"
+            )
+    write(
+        osp.join(d, "eval.sh"),
+        _bash_model_loop(
+            NEW_EVAL_MODELS,
+            "\n".join(grid_lines),
+            header="# newer-model eval set "
+            "(reference new_adv_eval/eval.sh:18-27)",
+        ),
+    )
+
+    # ---- batch_eval_transfer: src→tgt FGSM transfer matrix
+    d = osp.join(ROOT, "nips_benchmark", "batch_eval_transfer")
+    write(osp.join(d, "config.yaml"), _src_tgt_config())
+    transfer = [
+        "#!/bin/bash",
+        "# src x tgt x eps FGSM transfer matrix; idempotent by results.txt.all",
+        "# (reference batch_eval_transfer/batch_eval_adv_transfer_auto_arch.sh)",
+        "model_names=('resnet50_official' 'vit_b16_224' 'mixer_b16_224')",
+        'CKPT_DIR=${ROBUSTART_CKPT:-"${ROBUSTART_DATA:-/data/robustart}/ckpt"}',
+        "eps_list=('8/255' '2/255' '0.5/255')",
+        "dir_name=('fgsm_0.031' 'fgsm_0.007' 'fgsm_0.001')",
+        "for ((i=0;i<${#eps_list[@]};i++)); do",
+        "  for src in \"${model_names[@]}\"; do",
+        "    for tgt in \"${model_names[@]}\"; do",
+        '      out="${src}_To_${tgt}/${dir_name[$i]}"',
+        '      if [ -f "$out/results.txt.all" ]; then continue; fi',
+        "      python -u -m robustart_tpu.solvers.benchmark_eval_adv "
+        "--config config.yaml --src_name $src "
+        '--src_path "$CKPT_DIR/$src.pth.tar" --tgt_name $tgt '
+        '--tgt_path "$CKPT_DIR/$tgt.pth.tar" --attack fgsm '
+        "--eps ${eps_list[$i]}",
+        "    done",
+        "  done",
+        "done",
+    ]
+    write(
+        osp.join(d, "batch_eval_adv_transfer_auto_arch.sh"),
+        "\n".join(transfer) + "\n",
+    )
+    # transfer-matrix parser CLI (reference batch_eval_transfer/
+    # parse_transfer.py:22-46; implementation robustart_tpu/tools/)
+    write(
+        osp.join(d, "parse_transfer.py"),
+        "import sys\n\n"
+        "from robustart_tpu.tools.parse_transfer import main\n\n"
+        "main(sys.argv[1:])\n",
+    )
+
+    # ---- new_transfer: transfer matrix over the newer-model set
+    d = osp.join(ROOT, "nips_benchmark", "new_transfer")
+    write(osp.join(d, "config.yaml"), _src_tgt_config("convnext_base"))
+    body = []
+    for attack, epss in ADV_GRID:
+        for eps in epss:
+            body.append(
+                "    python -u -m robustart_tpu.solvers.benchmark_eval_adv "
+                "--config config.yaml --src_name $name "
+                '--src_path "$CKPT_DIR/$name.pth.tar" --tgt_name $tgt '
+                '--tgt_path "$CKPT_DIR/$tgt.pth.tar" '
+                f"--attack {attack} --eps {eps}"
+            )
+    write(
+        osp.join(d, "eval.sh"),
+        _bash_model_loop(
+            NEW_EVAL_MODELS,
+            "  for tgt in \"${model_names[@]}\"; do\n"
+            + "\n".join(body)
+            + "\n  done",
+            header="# newer-model transfer matrix "
+            "(reference new_transfer/eval.sh)",
+        ),
+    )
+
+    # ---- test: fake-backend smoke eval (reference nips_benchmark/test/)
+    d = osp.join(ROOT, "nips_benchmark", "test")
+    cfg = base_config("resnet18_official", {}, 8, read_from="fake")
+    cfg["data"]["fake_size"] = 64
+    write(osp.join(d, "config.yaml"), cfg)
+    write(
+        osp.join(d, "eval.sh"),
+        EVAL_SH.format(solver="cls_solver", config="config.yaml"),
+    )
+
+    # ---- batch_eval_adv extras (reference batch_eval_adv/ listing)
+    d = osp.join(ROOT, "nips_benchmark", "batch_eval_adv")
+    single = []
+    for attack, epss in ADV_GRID:
+        for eps in epss:
+            single.append(
+                "python -u -m robustart_tpu.solvers.benchmark_eval_adv "
+                "--config config.yaml --src_name $NAME --src_path $CKPT "
+                "--tgt_name $NAME --tgt_path $CKPT "
+                f"--attack {attack} --eps {eps}"
+            )
+    write(
+        osp.join(d, "batch_eval_single_model.sh"),
+        "#!/bin/bash\n"
+        "# full grid for ONE model "
+        "(reference batch_eval_adv/batch_eval_single_model.sh)\n"
+        "NAME=${1:?model name}; CKPT=${2:?ckpt path}\n"
+        + "\n".join(single)
+        + "\n",
+    )
+    clip_cfg = _src_tgt_config("clip_vit_l_14", "clip_vit_l_14")
+    write(osp.join(d, "clip_config.yaml"), clip_cfg)
+    clip_lines = ["#!/bin/bash",
+                  "# CLIP tower adversarial eval "
+                  "(reference batch_eval_adv/clip_eval.sh)",
+                  "CKPT=${1:?clip ckpt path}"]
+    for attack, epss in ADV_GRID:
+        for eps in epss:
+            clip_lines.append(
+                "python -u -m robustart_tpu.solvers.benchmark_eval_adv "
+                "--config clip_config.yaml --src_name clip_vit_l_14 "
+                "--src_path $CKPT --tgt_name clip_vit_l_14 --tgt_path $CKPT "
+                f"--attack {attack} --eps {eps}"
+            )
+    write(osp.join(d, "clip_eval.sh"), "\n".join(clip_lines) + "\n")
+    # HF → state-dict converter (reference batch_eval_adv/load_model.py:1-9
+    # converts facebook/convnext-base-224; ours reads a local HF dir — this
+    # environment has no network egress)
+    write(
+        osp.join(d, "load_model.py"),
+        '"""Convert a local HuggingFace convnext checkpoint dir to a plain\n'
+        'state-dict .pth (reference nips_benchmark/batch_eval_adv/\n'
+        'load_model.py:1-9, which pulls facebook/convnext-base-224).\n'
+        'Usage: python load_model.py <hf_dir> <out.pth>"""\n'
+        "import sys\n\n"
+        "import torch\n"
+        "from transformers import ConvNextForImageClassification\n\n"
+        "model = ConvNextForImageClassification.from_pretrained(sys.argv[1])\n"
+        "torch.save(model.state_dict(), sys.argv[2])\n",
+    )
+
+
+def _gen_exp_extras():
+    """exp/models + exp/eval_all.sh (reference exprs/exp/)."""
+    # step-LR resnet18 recipe (reference exp/models/
+    # resnet18_batch1k_epoch100_nesterov_wd0.0001/config.yaml: batch 1k
+    # global, Step scheduler on iterations, max_iter 125000)
+    d = osp.join(
+        ROOT, "exp", "models", "resnet18_batch1k_epoch100_nesterov_wd0.0001"
+    )
+    cfg = base_config("resnet18", {}, 128)
+    cfg["dist"]["sync"] = True
+    cfg["lr_scheduler"] = {
+        "type": "Step",
+        "kwargs": {
+            "lr_steps": [37500, 75000, 112500],
+            "lr_mults": [0.1, 0.1, 0.1],
+            "base_lr": 0.1,
+            "warmup_lr": 0.4,
+            "warmup_steps": 2500,
+            "max_iter": 125000,
+        },
+    }
+    write(osp.join(d, "config.yaml"), cfg)
+    write(osp.join(d, "run.sh"), RUN_SH)
+
+    # run-every-eval-loop driver (reference exp/eval_all.sh)
+    write(
+        osp.join(ROOT, "exp", "eval_all.sh"),
+        "#!/bin/bash\nset -euo pipefail\n"
+        'ROOT="$(cd "$(dirname "$0")" && pwd)"\n'
+        "TASKS=(imagenet_c_loop_mini imagenet_s_loop "
+        "imagenet-a_o-loop imagenet-p-loop-mini)\n"
+        'for task in "${TASKS[@]}"; do\n'
+        '  echo "[task] ${task}"\n'
+        '  (cd "${ROOT}/${task}" && bash eval.sh)\n'
+        "done\n",
+    )
 
 
 if __name__ == "__main__":
