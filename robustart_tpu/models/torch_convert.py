@@ -388,6 +388,25 @@ _SUFFIX_MAP = {
 }
 
 
+def _swin_merge_fixup(flax_name: str, v: np.ndarray) -> np.ndarray:
+    """Reorder patch-merging inputs: microsoft PatchMerging concatenates
+    [x0, x1, x2, x3] with x1 = x[1::2, 0::2] and x2 = x[0::2, 1::2]
+    (microsoft Swin-Transformer models/swin_transformer.py PatchMerging),
+    while our reshape-transpose merge produces [x0, x2, x1, x3]. Swap the
+    middle two c-wide groups of the merge LayerNorm params and the
+    reduction kernel's input dim (verified by
+    tests/test_convert_parity_transformers.py::test_swin_forward_parity)."""
+    if not re.match(r".*merge_(norm|reduction)\d+/(scale|bias|kernel)$",
+                    flax_name):
+        return v
+    c = v.shape[0] // 4
+    perm = np.concatenate(
+        [np.arange(c), 2 * c + np.arange(c), c + np.arange(c),
+         3 * c + np.arange(c)]
+    )
+    return v[perm]
+
+
 def _convert_tensor(flax_name: str, torch_value: np.ndarray, target_shape):
     v = torch_value
     if v.ndim == 4 and flax_name.endswith("kernel"):
@@ -413,6 +432,7 @@ def convert_state_dict(
     their initialized values and are reported.
     """
     rule = _FAMILY_RULES[family] if isinstance(family, str) else family
+    fixup = _swin_merge_fixup if rule is _swin_torch_name else None
     flat = flatten(variables)
     out = {}
     missing = []
@@ -438,6 +458,8 @@ def convert_state_dict(
             missing.append(f"{name} <- {torch_key}")
             out[name] = value
         else:
+            if fixup is not None:
+                conv = fixup(name, np.asarray(conv))
             out[name] = np.asarray(conv, dtype=np.asarray(value).dtype)
     return unflatten(out), missing
 
