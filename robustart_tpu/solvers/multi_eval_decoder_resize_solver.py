@@ -36,7 +36,10 @@ from robustart_tpu.solvers.base import ResultWriter, Solver, standard_solver_arg
 
 logger = get_logger("robustart.s_eval")
 
-DEFAULT_DECODERS = ("pil", "opencv")
+# all three reference decoder axes (reference imagenet_s_gen.py:177-220);
+# the 'ffmpeg' axis falls back to the fast-IDCT substitute decoder when the
+# binary is absent (see noise/imagenet_s.py::ffmpeg_decoder_impl)
+DEFAULT_DECODERS = ("pil", "opencv", "ffmpeg")
 DEFAULT_RESIZES = RESIZE_TYPES
 
 
@@ -123,6 +126,8 @@ class MultiEvalDecoderResizeSolver(Solver):
                     logger.info("ImageNet-S %s/%s: %s", decoder, resize_type, out)
         if self.rank != 0:
             return {}
+        from robustart_tpu.noise.imagenet_s import ffmpeg_decoder_impl
+
         summary = {
             "per_combo": {
                 f"{d}/{r}": v for (d, r), v in evaluator.metric.metric.items()
@@ -130,6 +135,10 @@ class MultiEvalDecoderResizeSolver(Solver):
             **evaluator.get_mean(),
             **evaluator.get_std(),
         }
+        if "ffmpeg" in decoders:
+            # annotate which implementation served the ffmpeg axis so
+            # mean/std stability metrics are comparable-or-flagged
+            summary["ffmpeg_decoder_impl"] = ffmpeg_decoder_impl()
         if test_cfg.get("save_acc_var_neg"):
             # reference flag: store accuracy-variance (negated, higher=stabler)
             summary["acc_var_neg"] = -float(

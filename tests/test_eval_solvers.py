@@ -88,7 +88,7 @@ def test_imgnet_p_eval_solver(tmp_path):
 def test_multi_eval_decoder_resize_solver(tmp_path):
     cfg = _cfg(
         tmp_path,
-        decoders=["pil", "opencv"],
+        decoders=["pil", "opencv", "ffmpeg"],
         resize_types=["pil-bilinear", "opencv-bilinear"],
         limit_samples=4,
         save_acc_var_neg=True,
@@ -97,8 +97,10 @@ def test_multi_eval_decoder_resize_solver(tmp_path):
     cfg.data.fake_size = 4
     solver = MultiEvalDecoderResizeSolver(cfg)
     summary = solver.evaluate()
-    assert len(summary["per_combo"]) == 4
+    assert len(summary["per_combo"]) == 6
     assert "Mean" in summary and "Std." in summary and "acc_var_neg" in summary
+    # the ffmpeg axis must be annotated with the serving implementation
+    assert summary["ffmpeg_decoder_impl"] in ("ffmpeg", "tf-fast-idct")
 
 
 @pytest.mark.parametrize("attack,eps", [("fgsm", 8.0), ("pgd_linf", 2.0)])
