@@ -28,52 +28,47 @@ PERTURBATIONS = [
 
 
 def dist(sigma, mode="top5", num_classes=10):
-    """Ranking distance kernel (reference test_cifar_p.py:116-127)."""
-    identity = np.asarray(range(1, num_classes + 1))
+    """Ranking distance kernel: per-position displacement cost of the
+    composed permutation ``sigma`` (reference test_cifar_p.py:116-127
+    formulas, restated vectorized; ``sigma`` may be a batch ``(..., nc)``)."""
+    sigma = np.asarray(sigma)
     if mode == "top5":
-        cum_sum_top5 = np.cumsum(
-            np.asarray([0] + [1] * 5 + [0] * (num_classes - 1 - 5))
-        )
-        return np.sum(np.abs(cum_sum_top5[:5] - cum_sum_top5[sigma - 1][:5]))
+        # cumulative top-5 membership: cs = [0,1,2,3,4,5,5,...]
+        cs = np.cumsum([0] + [1] * 5 + [0] * (num_classes - 1 - 5))
+        return np.abs(cs[:5] - cs[sigma[..., :5] - 1]).sum(axis=-1)
     if mode == "zipf":
-        recip = 1.0 / identity
-        return np.sum(np.abs(recip - recip[sigma - 1]) * recip)
+        recip = 1.0 / np.arange(1, num_classes + 1)
+        return (np.abs(recip - recip[sigma - 1]) * recip).sum(axis=-1)
     raise ValueError(f"Unknown mode: {mode}")
 
 
 def ranking_dist(ranks, noise_perturbation=False, mode="top5", num_classes=10):
-    result = 0.0
-    step_size = 1
-    for vid_ranks in ranks:
-        result_for_vid = []
-        for i in range(step_size):
-            perm1 = vid_ranks[i]
-            perm1_inv = np.argsort(perm1)
-            for rank in vid_ranks[i::step_size][1:]:
-                perm2 = rank
-                result_for_vid.append(dist(perm2[perm1_inv], mode, num_classes))
-                if not noise_perturbation:
-                    perm1 = perm2
-                    perm1_inv = np.argsort(perm1)
-        if result_for_vid:
-            result += np.mean(result_for_vid) / len(ranks)
-    return result
+    """mT5D-style ranking instability over perturbation videos.
+
+    ``ranks``: (n_vids, n_frames, num_classes) class→rank arrays. For each
+    frame pair, compose the later frame's ranks with the anchor frame's
+    ranking order (``perm2[argsort(perm1)]``) and sum displacement costs;
+    ``noise_perturbation`` anchors every comparison at frame 0 (reference
+    test_cifar_p.py:130-152 semantics, vectorized over frames and videos).
+    """
+    ranks = np.asarray(ranks)
+    inv = np.argsort(ranks, axis=-1)
+    anchor_inv = inv[:, :1] if noise_perturbation else inv[:, :-1]
+    later = ranks[:, 1:]
+    anchor_inv = np.broadcast_to(anchor_inv, later.shape)
+    sigma = np.take_along_axis(later, anchor_inv, axis=-1)
+    d = dist(sigma, mode, num_classes)  # (n_vids, n_frames-1)
+    return float(d.mean(axis=1).mean()) if d.size else 0.0
 
 
 def flip_prob(predictions, noise_perturbation=False):
-    result = 0.0
-    step_size = 1
-    for vid_preds in predictions:
-        result_for_vid = []
-        for i in range(step_size):
-            prev_pred = vid_preds[i]
-            for pred in vid_preds[i::step_size][1:]:
-                result_for_vid.append(int(prev_pred != pred))
-                if not noise_perturbation:
-                    prev_pred = pred
-        if result_for_vid:
-            result += np.mean(result_for_vid) / len(predictions)
-    return result
+    """Flip probability: fraction of frame pairs whose top-1 prediction
+    changes; ``noise_perturbation`` compares every frame against frame 0
+    (reference test_cifar_p.py:155-174 semantics, vectorized)."""
+    p = np.asarray(predictions)
+    anchor = p[:, :1] if noise_perturbation else p[:, :-1]
+    flips = p[:, 1:] != anchor
+    return float(flips.mean(axis=1).mean()) if flips.size else 0.0
 
 
 def evaluate_perturbation(logits_fn, variables, videos, batch_size=64,

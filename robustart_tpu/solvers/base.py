@@ -207,7 +207,12 @@ class Solver:
     def __init__(self, config: Config | str, evaluate_only: bool = False):
         self.cfg = load_config(config) if isinstance(config, str) else config
         self.dist: DistContext = init_distributed()
-        self.mesh = get_mesh(("data",))
+        # per-process (addressable-device) mesh: solver data-parallelism is
+        # rank-sharded at the data/file layer (distributed_indices +
+        # ResultWriter merge), so each process shards its local batch over
+        # its own devices — no cross-process arrays needed, and
+        # ``jax.device_put`` stays valid under multi-process jax.distributed
+        self.mesh = get_mesh(("data",), devices=jax.local_devices())
         self.evaluate_only = evaluate_only
         self.rank = self.dist.rank
         self.world_size = self.dist.world_size

@@ -90,6 +90,14 @@ class MultiEvalSolver(Solver):
         summary = {
             "top1_per_corruption": mean_top1,
             "mCE": mean_corruption_error(known) if known else None,
+            # asset-substituted corruptions: frost uses procedural textures
+            # (the 6 photos the reference blends, corruptions.py:244-263, are
+            # absent from the snapshot) — numbers are internally consistent
+            # but NOT comparable to published frost/mCE rows
+            "non_comparable": (
+                {"frost": "procedural-texture substitute for missing assets"}
+                if "frost" in mean_top1 else {}
+            ),
             "mean_top1": float(np.mean(list(mean_top1.values()))),
         }
         with open(osp.join(out_root, "summary.json"), "w") as f:

@@ -48,6 +48,10 @@ def collect_model(model_dir: str) -> dict:
     if c:
         row["mCE"] = c.get("mCE")
         row["imagenet_c_top1"] = c.get("mean_top1")
+        if c.get("non_comparable"):
+            # e.g. frost runs on substituted assets — flag it so exported
+            # tables never silently compare against published numbers
+            row["non_comparable"] = sorted(c["non_comparable"])
     s = _maybe_json(osp.join(model_dir, "imagenet-s", "summary.json"))
     if s:
         row["imagenet_s_mean"] = s.get("Mean")

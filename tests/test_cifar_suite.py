@@ -138,3 +138,64 @@ def test_mul_adversarial_cli(tmp_path, trained_ckpt):
     assert all(0 <= v <= 100 for v in out.values())
     # attacks shouldn't increase accuracy
     assert out["fgsm_8"] <= out["clean"] + 1e-9
+
+
+def test_cifar_p_metric_helpers_match_reference_loops():
+    """Golden check: the vectorized dist/ranking_dist/flip_prob equal the
+    reference's sequential-loop formulas (reference cifar10/code/
+    test_cifar_p.py:116-174), evaluated by a test-local loop oracle."""
+    import numpy as np
+
+    from robustart_tpu.cifar10.test_cifar_p import dist, flip_prob, ranking_dist
+
+    rng = np.random.default_rng(0)
+    nc, n_vids, n_frames = 10, 5, 7
+    ranks = np.stack(
+        [np.stack([rng.permutation(nc) + 1 for _ in range(n_frames)])
+         for _ in range(n_vids)]
+    )
+    preds = rng.integers(0, nc, (n_vids, n_frames))
+
+    def dist_ref(sigma, mode):
+        identity = np.arange(1, nc + 1)
+        if mode == "top5":
+            cs = np.cumsum([0] + [1] * 5 + [0] * (nc - 1 - 5))
+            return np.sum(np.abs(cs[:5] - cs[sigma - 1][:5]))
+        recip = 1.0 / identity
+        return np.sum(np.abs(recip - recip[sigma - 1]) * recip)
+
+    def ranking_dist_ref(ranks, noise, mode):
+        result = 0.0
+        for vid in ranks:
+            vals = []
+            perm1 = vid[0]
+            perm1_inv = np.argsort(perm1)
+            for perm2 in vid[1:]:
+                vals.append(dist_ref(perm2[perm1_inv], mode))
+                if not noise:
+                    perm1, perm1_inv = perm2, np.argsort(perm2)
+            result += np.mean(vals) / len(ranks)
+        return result
+
+    def flip_prob_ref(preds, noise):
+        result = 0.0
+        for vid in preds:
+            vals = []
+            prev = vid[0]
+            for p in vid[1:]:
+                vals.append(int(prev != p))
+                if not noise:
+                    prev = p
+            result += np.mean(vals) / len(preds)
+        return result
+
+    for noise in (False, True):
+        for mode in ("top5", "zipf"):
+            np.testing.assert_allclose(
+                ranking_dist(ranks, noise, mode, nc),
+                ranking_dist_ref(ranks, noise, mode),
+                rtol=1e-12,
+            )
+        np.testing.assert_allclose(
+            flip_prob(preds, noise), flip_prob_ref(preds, noise), rtol=1e-12
+        )
