@@ -317,9 +317,11 @@ def quantize_classifier(
     folded, blocks = _fold_all(clf.variables, module)
     _, head_site = _resnet_spec(module)
 
-    # --- calibrate activation scales on the folded float net
+    # --- calibrate activation scales on the folded float net; folded
+    # weights ride as jit ARGUMENTS — closure constants would be baked into
+    # the compile payload, which the axon relay caps (HTTP 413 on ViT-scale)
     calib_fn = jax.jit(
-        lambda x: _calib_forward(folded, blocks, head_site, x)[1]
+        lambda f, x: _calib_forward(f, blocks, head_site, x)[1]
     )
     images = np.asarray(calib_images)
     n = max(len(images) // calib_batch_size, 1)
@@ -327,7 +329,7 @@ def quantize_classifier(
     for i in range(n):
         batch = images[i * calib_batch_size : (i + 1) * calib_batch_size]
         x01 = jnp.asarray(batch, jnp.float32) / 255.0
-        stats = calib_fn(normalize_01(x01, clf.mean, clf.std))
+        stats = calib_fn(folded, normalize_01(x01, clf.mean, clf.std))
         amax = stats if amax is None else jax.tree.map(jnp.maximum, amax, stats)
     scale = {k: jnp.maximum(v, 1e-12) / 127.0 for k, v in amax.items()}
 

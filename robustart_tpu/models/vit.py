@@ -44,7 +44,9 @@ class Attention(nn.Module):
     attention_dropout: float = 0.0
     dropout: float = 0.0
     softmax_fp32: bool = True  # fp32 softmax (safe default); bf16 is faster
-    attention_impl: str = "xla"  # 'xla' einsums | 'pallas' fused VMEM kernel
+    # 'auto': fused Pallas kernel on TPU eval, XLA einsums elsewhere
+    # (training dropout, attention-rollout sow, and CPU tests need einsums)
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -56,7 +58,10 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
         scale = 1.0 / np.sqrt(head_dim)
-        if self.attention_impl == "pallas" and deterministic:
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas" and deterministic:
             # fused VMEM attention: no (B, H, N, N) tensor in HBM, fp32
             # softmax inside the kernel (ops/pallas_attention.py); eval only
             # (dropout on attention weights needs the XLA path)
@@ -88,7 +93,7 @@ class EncoderBlock(nn.Module):
     attention_dropout: float = 0.0
     drop_path: float = 0.0
     softmax_fp32: bool = True
-    attention_impl: str = "xla"
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -127,7 +132,7 @@ class VisionTransformer(nn.Module):
     attention_dropout: float = 0.0
     drop_path: float = 0.0
     softmax_fp32: bool = True
-    attention_impl: str = "xla"
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact

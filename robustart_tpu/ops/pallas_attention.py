@@ -92,7 +92,9 @@ def _mha_bwd(interpret, residuals, g):
     ds = tmp - p * jnp.sum(tmp, axis=-1, keepdims=True)
     dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k) * scale
     dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q) * scale
-    return dq, dk, dv
+    # cotangents may arrive in f32 (e.g. the loss is computed in f32 above a
+    # bf16 model); custom_vjp requires grad dtypes == primal dtypes
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 _mha.defvjp(_mha_fwd, _mha_bwd)

@@ -104,7 +104,12 @@ def attention_rollout(classifier, image01: np.ndarray) -> np.ndarray:
     from robustart_tpu.models.layers import normalize_01
 
     x = jnp.asarray(image01)[None]
-    _, state = classifier.module.apply(
+    module = classifier.module
+    if hasattr(module, "attention_impl"):
+        # rollout needs the attention maps sown by the einsum path — the
+        # fused Pallas kernel (default on TPU eval) never materializes them
+        module = module.clone(attention_impl="xla")
+    _, state = module.apply(
         classifier.variables,
         normalize_01(x, classifier.mean, classifier.std),
         train=False,
