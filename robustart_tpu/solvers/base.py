@@ -256,6 +256,68 @@ class Solver:
         self._eval_fn = wrapped
         return wrapped
 
+    def maybe_quantize(self, loader) -> bool:
+        """Swap the eval forward for the int8 PTQ path when the config asks
+        (``model.quantize: int8``; ``model.quantize_calib_batches``: N, def 2).
+
+        Calibrates activation scales on the first batches of ``loader`` (the
+        eval distribution — corrupted images when evaluating corruptions).
+        Supported families: ResNet (models/quantize.py) and ViT
+        (models/quantize_vit.py); others log a warning and keep the float
+        path. Eval-only: the int8 graph has no useful gradients, so attack
+        solvers must not enable it. Returns True when the swap happened.
+        """
+        mode = self.cfg.get_path("model.quantize")
+        if mode in (None, False, "none"):
+            return False
+        if mode != "int8":
+            raise ValueError(f"unknown model.quantize mode {mode!r}")
+        from robustart_tpu.models.resnet import ResNet
+        from robustart_tpu.models.vit import VisionTransformer
+
+        module = self.classifier.module
+        n_batches = int(
+            self.cfg.get_path("model.quantize_calib_batches") or 2
+        )
+        calib = []
+        for i, batch in enumerate(loader):
+            calib.append(np.asarray(batch.image)[np.asarray(batch.mask)])
+            if i + 1 >= n_batches:
+                break
+        calib = np.concatenate(calib)
+        bs = min(64, len(calib))
+        if isinstance(module, ResNet):
+            from robustart_tpu.models.quantize import quantize_classifier
+
+            q = quantize_classifier(self.classifier, calib, calib_batch_size=bs)
+        elif isinstance(module, VisionTransformer):
+            from robustart_tpu.models.quantize_vit import quantize_vit
+
+            q = quantize_vit(self.classifier, calib, calib_batch_size=bs)
+        else:
+            logger.warning(
+                "model.quantize: int8 unsupported for %s — keeping float eval",
+                type(module).__name__,
+            )
+            return False
+        qparams = jax.device_put(q.qparams)
+        jfn = jax.jit(q.apply_fn)
+        mesh = self.mesh
+        n_dev = int(np.prod(list(mesh.shape.values())))
+
+        def wrapped(variables, images_u8):
+            del variables  # int8 path carries its own quantized params
+            if images_u8.shape[0] % n_dev == 0:
+                images_u8 = jax.device_put(
+                    images_u8, batch_sharding(mesh, images_u8.ndim)
+                )
+            return jfn(qparams, images_u8)
+
+        self._eval_fn = wrapped
+        logger.info("int8 eval path enabled (%s, calib %d images)",
+                    q.name, len(calib))
+        return True
+
     def run_eval_loop(
         self,
         loader,

@@ -28,7 +28,7 @@ import numpy as np
 from flax import struct
 
 from robustart_tpu.core.config import Config
-from robustart_tpu.core.dist import batch_sharding
+from robustart_tpu.core.dist import batch_sharding, get_mesh
 from robustart_tpu.core.logging import get_logger
 from robustart_tpu.data import build_dataloader
 from robustart_tpu.metrics import ImageNetCEvaluator, ImageNetEvaluator
@@ -213,6 +213,31 @@ class ClsSolver(Solver):
         save_dir = saver.get("save_dir", "checkpoints")
         base_rng = jax.random.key(int(cfg.get("seed", 0)) + 1)
 
+        # Training runs on the GLOBAL mesh: with multi-process
+        # jax.distributed the per-process loader shards feed one logical
+        # global batch (make_array_from_process_local_data) and the gradient
+        # psum spans every chip — the reference's 16-rank DDP allreduce
+        # (resnet50/run.sh:2) as sharding (SURVEY.md §2.11, §5.8)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        train_mesh = get_mesh(("data",))
+        multiproc = self.world_size > 1
+
+        def put_batch(arr, ndim):
+            sh = batch_sharding(train_mesh, ndim)
+            if multiproc:
+                return jax.make_array_from_process_local_data(sh, np.asarray(arr))
+            return jax.device_put(arr, sh)
+
+        if multiproc:
+            replicated = NamedSharding(train_mesh, PartitionSpec())
+            state = jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(
+                    replicated, np.asarray(a)
+                ),
+                state,
+            )
+
         step = int(state.step)
         for epoch in range(start_epoch, max_epoch):
             loader = (
@@ -225,12 +250,8 @@ class ClsSolver(Solver):
             )
             t0 = time.time()
             for batch in loader:
-                images = jax.device_put(
-                    batch.image, batch_sharding(self.mesh, 4)
-                )
-                labels = jax.device_put(
-                    batch.label, batch_sharding(self.mesh, 1)
-                )
+                images = put_batch(batch.image, 4)
+                labels = put_batch(batch.label, 1)
                 state, metrics = train_step(
                     state, images, labels, jax.random.fold_in(base_rng, step)
                 )
@@ -294,6 +315,7 @@ class ClsSolver(Solver):
         results_path = results_path or cfg.get_path(
             "saver.results_path", "results/results.txt.all"
         )
+        self.maybe_quantize(loader)
         writer = ResultWriter(results_path, self.rank, self.world_size)
         self.run_eval_loop(
             loader, writer,

@@ -119,6 +119,11 @@ class MultiEvalSolver(Solver):
             cfg.data, "test", self.rank, self.world_size,
             split_cfg_override=override, seed=int(cfg.get("seed", 0)),
         )
+        if not getattr(self, "_quantize_checked", False):
+            # one-time int8 swap, calibrated on the corrupted eval
+            # distribution this loader serves (model.quantize: int8)
+            self._quantize_checked = True
+            self.maybe_quantize(loader)
         writer = ResultWriter(res_file, self.rank, self.world_size)
         self.run_eval_loop(loader, writer, limit_samples=limit)
         writer.close()

@@ -151,3 +151,55 @@ print("RANK", os.environ["RANK"], "DEVICES", jax.device_count(),
         shard = f"{results}.rank{r}"
         assert osp.exists(shard) and osp.exists(shard + ".done")
         assert sum(1 for _ in open(shard)) == 12
+
+
+def test_two_process_training_stays_in_sync(tmp_path):
+    """2-process × 4-device DDP training: gradient psum spans processes,
+    so both ranks' final params must be bit-identical and the loss finite
+    (reference 16-rank `spring.submit` training, resnet50/run.sh:2)."""
+    cfg = {
+        "model": {"type": "resnet18", "kwargs": {"num_classes": 10}},
+        "data": {
+            "type": "imagenet", "read_from": "fake", "fake_size": 32,
+            "fake_num_classes": 10, "batch_size": 8, "input_size": 32,
+            "num_workers": 0,
+        },
+        "saver": {"save_dir": str(tmp_path / "ck"), "val_freq": 10_000,
+                  "print_freq": 2},
+        "lr_scheduler": {"type": "CosineEpoch",
+                         "kwargs": {"base_lr": 0.1, "warmup_lr": 0.1,
+                                    "warmup_epoch": 0, "max_epoch": 1}},
+        "optimizer": {"type": "SGD", "kwargs": {"momentum": 0.9}},
+    }
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    script = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, os
+from robustart_tpu.solvers.cls_solver import ClsSolver
+from robustart_tpu.core.config import load_config
+
+solver = ClsSolver(load_config({cfg!r}))
+solver.train()
+p = jax.device_get(solver._train_state.params)
+leaves = jax.tree.leaves(p)
+digest = float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
+print("RANK", os.environ["RANK"], "DIGEST", repr(digest))
+""".format(cfg=cfg_path)
+
+    port = _free_port()
+    procs = [_spawn(script, rank, 2, port) for rank in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    digests = {}
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("RANK"):
+                _, r, _, d = line.split()
+                digests[r] = d
+    assert len(digests) == 2, outs
+    assert digests["0"] == digests["1"], digests
+    assert float(digests["0"]) > 0 and np.isfinite(float(digests["0"]))

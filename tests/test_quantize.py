@@ -95,3 +95,34 @@ def test_float01_input_equals_uint8_input():
     a = np.asarray(qclf(jnp.asarray(images)))
     b = np.asarray(qclf(jnp.asarray(images, jnp.float32) / 255.0))
     np.testing.assert_array_equal(a, b)
+
+
+def test_solver_int8_eval_via_config(tmp_path):
+    """``model.quantize: int8`` swaps the eval forward through the solver
+    surface (base.Solver.maybe_quantize) and produces a valid result file."""
+    import yaml
+
+    cfg = {
+        "model": {"type": "resnet18", "kwargs": {"num_classes": 10},
+                  "quantize": "int8", "quantize_calib_batches": 1},
+        "data": {"type": "imagenet", "read_from": "fake", "fake_size": 16,
+                 "fake_num_classes": 10, "batch_size": 8, "input_size": 64,
+                 "num_workers": 0,
+                 "test": {"evaluator": {"type": "imagenet",
+                                        "kwargs": {"topk": [1, 5]}}}},
+        "saver": {"save_dir": str(tmp_path / "ck"),
+                  "results_path": str(tmp_path / "results.txt.all"),
+                  "val_freq": 1000},
+        "lr_scheduler": {"type": "CosineEpoch", "kwargs": {"max_epoch": 1}},
+        "optimizer": {"type": "SGD", "kwargs": {}},
+    }
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from robustart_tpu.solvers.cls_solver import main
+
+    metrics = main(["--config", cfg_path, "--evaluate"])
+    assert "top1" in metrics
+    lines = open(tmp_path / "results.txt.all").read().splitlines()
+    assert len(lines) == 16
