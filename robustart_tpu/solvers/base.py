@@ -211,8 +211,29 @@ class Solver:
         # rank-sharded at the data/file layer (distributed_indices +
         # ResultWriter merge), so each process shards its local batch over
         # its own devices — no cross-process arrays needed, and
-        # ``jax.device_put`` stays valid under multi-process jax.distributed
-        self.mesh = get_mesh(("data",), devices=jax.local_devices())
+        # ``jax.device_put`` stays valid under multi-process jax.distributed.
+        # ``dist.tensor_parallel: N`` adds a model axis: 2-D dense kernels
+        # shard over it (parallel/sharding.py tp rules — beyond the
+        # reference's DP-only stack, for large ViT/Mixer configs).
+        local = jax.local_devices()
+        self.tensor_parallel = int(
+            self.cfg.get_path("dist.tensor_parallel") or 1
+        )
+        if self.tensor_parallel > 1:
+            if len(local) % self.tensor_parallel:
+                raise ValueError(
+                    f"tensor_parallel={self.tensor_parallel} does not divide "
+                    f"{len(local)} local devices"
+                )
+            self.mesh = get_mesh(
+                ("data", "model"),
+                mesh_shape=(
+                    len(local) // self.tensor_parallel, self.tensor_parallel
+                ),
+                devices=local,
+            )
+        else:
+            self.mesh = get_mesh(("data",), devices=local)
         self.evaluate_only = evaluate_only
         self.rank = self.dist.rank
         self.world_size = self.dist.world_size
@@ -225,6 +246,12 @@ class Solver:
         kwargs = dict(mcfg.get("kwargs") or {})
         self.classifier = create_classifier(mcfg.type, rng=seed, **kwargs)
         load_pretrain_into(self.classifier, self.cfg.get("saver"))
+        if self.tensor_parallel > 1:
+            from robustart_tpu.parallel.sharding import shard_params
+
+            self.classifier.variables = shard_params(
+                self.classifier.variables, self.mesh
+            )
         return self.classifier
 
     # -- jitted eval step --
@@ -244,10 +271,10 @@ class Solver:
             x = images_u8.astype(jnp.float32) / 255.0
             return clf.apply_fn(variables, x, train=False)
 
-        n_dev = int(np.prod(list(mesh.shape.values())))
+        n_data = int(mesh.shape["data"])
 
         def wrapped(variables, images_u8):
-            if images_u8.shape[0] % n_dev == 0:
+            if images_u8.shape[0] % n_data == 0:
                 images_u8 = jax.device_put(
                     images_u8, batch_sharding(mesh, images_u8.ndim)
                 )
@@ -303,11 +330,11 @@ class Solver:
         qparams = jax.device_put(q.qparams)
         jfn = jax.jit(q.apply_fn)
         mesh = self.mesh
-        n_dev = int(np.prod(list(mesh.shape.values())))
+        n_data = int(mesh.shape["data"])
 
         def wrapped(variables, images_u8):
             del variables  # int8 path carries its own quantized params
-            if images_u8.shape[0] % n_dev == 0:
+            if images_u8.shape[0] % n_data == 0:
                 images_u8 = jax.device_put(
                     images_u8, batch_sharding(mesh, images_u8.ndim)
                 )

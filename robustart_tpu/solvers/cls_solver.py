@@ -220,7 +220,16 @@ class ClsSolver(Solver):
         # (resnet50/run.sh:2) as sharding (SURVEY.md §2.11, §5.8)
         from jax.sharding import NamedSharding, PartitionSpec
 
-        train_mesh = get_mesh(("data",))
+        tp = self.tensor_parallel
+        n_global = jax.device_count()
+        if tp > 1:
+            # (data, model) mesh: dense kernels shard over `model`
+            # (parallel/sharding.py tp rules), batch over `data`
+            train_mesh = get_mesh(
+                ("data", "model"), mesh_shape=(n_global // tp, tp)
+            )
+        else:
+            train_mesh = get_mesh(("data",))
         multiproc = self.world_size > 1
 
         def put_batch(arr, ndim):
@@ -229,14 +238,26 @@ class ClsSolver(Solver):
                 return jax.make_array_from_process_local_data(sh, np.asarray(arr))
             return jax.device_put(arr, sh)
 
-        if multiproc:
-            replicated = NamedSharding(train_mesh, PartitionSpec())
-            state = jax.tree.map(
-                lambda a: jax.make_array_from_process_local_data(
-                    replicated, np.asarray(a)
-                ),
-                state,
-            )
+        if multiproc or tp > 1:
+            from robustart_tpu.parallel.sharding import tp_param_spec
+
+            def leaf_sharding(path, v):
+                spec = PartitionSpec()
+                if tp > 1 and np.ndim(v) > 0:
+                    spec = tp_param_spec(path, v)
+                return NamedSharding(train_mesh, spec)
+
+            def put_leaf(path, v):
+                sh = leaf_sharding(path, v)
+                if multiproc:
+                    # every process holds the full leaf; its addressable
+                    # shards are sub-slices of it (tp ≤ local devices)
+                    return jax.make_array_from_process_local_data(
+                        sh, np.asarray(v)
+                    )
+                return jax.device_put(v, sh)
+
+            state = jax.tree_util.tree_map_with_path(put_leaf, state)
 
         step = int(state.step)
         for epoch in range(start_epoch, max_epoch):
