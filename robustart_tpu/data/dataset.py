@@ -51,11 +51,34 @@ class MetaFileDataset:
         path = osp.join(self.root_dir, filename)
         if filename.endswith(".npy"):
             img = np.load(path)
+        elif filename.endswith((".mp4", ".avi", ".webm")):
+            # the published ImageNet-P distribution ships perturbation videos
+            # as .mp4 (Hendrycks ImageNet-P; the P solver consumes (F,H,W,3))
+            img = _read_video(path)
         else:
             with Image.open(path) as pil:
                 img = pil.convert("RGB")
                 img.load()
         return {"image": img, "label": label, "filename": filename, "index": idx}
+
+
+def _read_video(path: str) -> np.ndarray:
+    """Decode a video file to (F, H, W, 3) RGB uint8 (cv2 ffmpeg backend)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video {path}")
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        raise IOError(f"no frames decoded from {path}")
+    return np.stack(frames)
 
 
 class FakeDataset:

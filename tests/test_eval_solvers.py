@@ -202,3 +202,45 @@ def test_loader_surfaces_worker_errors():
     loader = DataLoader(Bad(), np.arange(4), batch_size=2, num_workers=1)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_imgnet_p_stored_mp4_videos(tmp_path):
+    """Precomputed ImageNet-P in the PUBLISHED layout: .mp4 perturbation
+    videos (Hendrycks ImageNet-P distribution) decoded via cv2."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    pert_dir = tmp_path / "data" / "gaussian_noise"
+    pert_dir.mkdir(parents=True)
+    meta = pert_dir / "meta.txt"
+    with meta.open("w") as f:
+        for i in range(4):
+            path = str(pert_dir / f"v{i}.mp4")
+            w = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (32, 32)
+            )
+            assert w.isOpened()
+            for _ in range(3):
+                w.write(rng.integers(0, 255, (32, 32, 3), np.uint8))
+            w.release()
+            f.write(f"v{i}.mp4 {i}\n")
+    cfg = Config({
+        "model": {"type": "resnet18", "kwargs": {"num_classes": 10}},
+        "seed": 0,
+        "data": {
+            "read_from": "fs", "batch_size": 2, "num_workers": 1,
+            "input_size": 32,
+            "test": {
+                "root_dir": str(tmp_path / "data"), "meta_file": str(meta),
+                "sampler": {"type": "distributed"},
+                "transforms": {"type": "JUSTNORM"},
+                "perturbations": ["gaussian_noise"], "n_frames": 3,
+            },
+        },
+        "saver": {"results_dir": str(tmp_path / "results")},
+    })
+    out = ImgnetPEvalSolver(cfg).evaluate()
+    assert "gaussian_noise" in out["per_perturbation"]
+    res = tmp_path / "results" / "gaussian_noise" / "results.txt.all"
+    lines = [json.loads(l) for l in open(res)]
+    assert len(lines) == 4 and len(lines[0]["predictions"]) == 3
