@@ -299,10 +299,6 @@ class Solver:
             return False
         if mode != "int8":
             raise ValueError(f"unknown model.quantize mode {mode!r}")
-        from robustart_tpu.models.resnet import ResNet
-        from robustart_tpu.models.vit import VisionTransformer
-
-        module = self.classifier.module
         n_batches = int(
             self.cfg.get_path("model.quantize_calib_batches") or 2
         )
@@ -311,21 +307,8 @@ class Solver:
             calib.append(np.asarray(batch.image)[np.asarray(batch.mask)])
             if i + 1 >= n_batches:
                 break
-        calib = np.concatenate(calib)
-        bs = min(64, len(calib))
-        if isinstance(module, ResNet):
-            from robustart_tpu.models.quantize import quantize_classifier
-
-            q = quantize_classifier(self.classifier, calib, calib_batch_size=bs)
-        elif isinstance(module, VisionTransformer):
-            from robustart_tpu.models.quantize_vit import quantize_vit
-
-            q = quantize_vit(self.classifier, calib, calib_batch_size=bs)
-        else:
-            logger.warning(
-                "model.quantize: int8 unsupported for %s — keeping float eval",
-                type(module).__name__,
-            )
+        q = self.build_quantized(np.concatenate(calib))
+        if q is None:
             return False
         qparams = jax.device_put(q.qparams)
         jfn = jax.jit(q.apply_fn)
@@ -344,6 +327,33 @@ class Solver:
         logger.info("int8 eval path enabled (%s, calib %d images)",
                     q.name, len(calib))
         return True
+
+    def build_quantized(self, calib_images_u8):
+        """int8-PTQ the classifier on ``calib_images_u8`` (uint8 NHWC from
+        the eval distribution). Returns the quantized classifier, or None
+        for unsupported families (with a warning)."""
+        from robustart_tpu.models.resnet import ResNet
+        from robustart_tpu.models.vit import VisionTransformer
+
+        module = self.classifier.module
+        bs = min(64, len(calib_images_u8))
+        if isinstance(module, ResNet):
+            from robustart_tpu.models.quantize import quantize_classifier
+
+            return quantize_classifier(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        if isinstance(module, VisionTransformer):
+            from robustart_tpu.models.quantize_vit import quantize_vit
+
+            return quantize_vit(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        logger.warning(
+            "model.quantize: int8 unsupported for %s — keeping float eval",
+            type(module).__name__,
+        )
+        return None
 
     def run_eval_loop(
         self,

@@ -105,6 +105,44 @@ class MultiEvalSolver(Solver):
         logger.info("ImageNet-C summary: %s", summary)
         return summary
 
+    def _online_quantized(self, loader, corrupt_fn, severity):
+        """int8 PTQ for the online path (``model.quantize: int8``): calibrate
+        on device-corrupted images from the first batches — the actual eval
+        distribution — once per run (first corruption's distribution; scales
+        are per-tensor maxima, robust across corruption types)."""
+        if self.cfg.get_path("model.quantize") != "int8":
+            return None
+        if getattr(self, "_online_q", None) is not None:
+            return self._online_q
+        import jax.numpy as jnp
+
+        n_batches = int(
+            self.cfg.get_path("model.quantize_calib_batches") or 2
+        )
+
+        @jax.jit
+        def corrupt_u8(images_u8, key):
+            x01 = images_u8.astype(jnp.float32) / 255.0
+            keys = jax.random.split(key, x01.shape[0])
+            c = jax.vmap(lambda img, k: corrupt_fn(img, k, severity))(x01, keys)
+            return jnp.floor(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        key = jax.random.key(int(self.cfg.get("seed", 0)) * 977)
+        calib = []
+        for i, batch in enumerate(loader):
+            calib.append(
+                np.asarray(corrupt_u8(batch.image, jax.random.fold_in(key, i)))
+            )
+            if i + 1 >= n_batches:
+                break
+        q = self.build_quantized(np.concatenate(calib))
+        if q is None:
+            return None
+        self._online_q = q
+        self._online_qparams = jax.device_put(q.qparams)
+        logger.info("int8 online eval path enabled (%s)", q.name)
+        return q
+
     # -- precomputed ImageNet-C slices on disk --
     def _eval_precomputed(self, corruption, severity, res_file, limit):
         cfg = self.cfg
@@ -146,15 +184,32 @@ class MultiEvalSolver(Solver):
         from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
 
         corrupt_fn = CORRUPTIONS.get(corruption)
+        qclf = (
+            self._online_quantized(loader, corrupt_fn, severity)
+            if corrupt_fn is not None
+            else None
+        )
 
+        # `params` is the first jit ARGUMENT (float variables or int8
+        # qparams — never a closure constant: models/quantize_vit.py docstring
+        # on the relay's compile-payload cap)
         @jax.jit
-        def fused_step(variables, images_u8, key):
+        def fused_step(params, images_u8, key):
             x01 = images_u8.astype(jnp.float32) / 255.0
             keys = jax.random.split(key, x01.shape[0])
             c = jax.vmap(lambda img, k: corrupt_fn(img, k, severity))(x01, keys)
-            q = jnp.floor(jnp.clip(c, 0.0, 1.0) * 255.0) / 255.0
-            return clf.apply_fn(variables, q, train=False)
+            k = jnp.floor(jnp.clip(c, 0.0, 1.0) * 255.0)
+            if qclf is not None:
+                # int8 eval path: the uint8 grid IS the int8 stem input
+                # (exact — models/quantize.py)
+                return qclf.apply_fn(params, (k - 128).astype(jnp.int8))
+            return clf.apply_fn(params, k / 255.0, train=False)
 
+        step_params = self._online_qparams if qclf is not None else variables
+        if self.cfg.get_path("model.quantize") == "int8":
+            # jpeg_compression (host-side codec) goes through the generic
+            # uint8 eval forward — swap it too
+            self.maybe_quantize(loader)
         eval_fn = self.eval_fn()
         writer = ResultWriter(res_file, self.rank, self.world_size)
         key = jax.random.key(int(cfg.get("seed", 0)) * 131 + severity)
@@ -166,7 +221,7 @@ class MultiEvalSolver(Solver):
                 logits = np.asarray(eval_fn(variables, images))
             else:
                 logits = np.asarray(
-                    fused_step(variables, batch.image,
+                    fused_step(step_params, batch.image,
                                jax.random.fold_in(key, bi))
                 )
             for i in range(len(batch.mask)):

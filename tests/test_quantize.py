@@ -126,3 +126,33 @@ def test_solver_int8_eval_via_config(tmp_path):
     assert "top1" in metrics
     lines = open(tmp_path / "results.txt.all").read().splitlines()
     assert len(lines) == 16
+
+
+def test_online_imagenet_c_int8_via_config(tmp_path):
+    """``model.quantize: int8`` through the ONLINE ImageNet-C path:
+    on-device corruption feeds the int8 stem grid directly."""
+    from robustart_tpu.core.config import Config
+    from robustart_tpu.solvers.multi_eval_solver import MultiEvalSolver
+
+    cfg = Config({
+        "model": {"type": "resnet18", "kwargs": {"num_classes": 10},
+                  "quantize": "int8", "quantize_calib_batches": 1},
+        "seed": 0,
+        "data": {"read_from": "fake", "fake_size": 16, "fake_num_classes": 10,
+                 "batch_size": 8, "num_workers": 1, "input_size": 32,
+                 "test": {"sampler": {"type": "distributed"},
+                           "transforms": {"type": "JUSTNORM"},
+                           "imagenet_c_online": True,
+                           "corruptions": ["gaussian_noise",
+                                            "jpeg_compression"],
+                           "severities": [1],
+                           "evaluator": {"type": "imagenetc",
+                                          "kwargs": {"topk": [1, 5]}}}},
+        "saver": {"results_dir": str(tmp_path / "c")},
+    })
+    summary = MultiEvalSolver(cfg).evaluate()
+    assert set(summary["top1_per_corruption"]) == {
+        "gaussian_noise", "jpeg_compression"
+    }
+    res = tmp_path / "c" / "gaussian_noise" / "1" / "results.txt.all"
+    assert sum(1 for _ in open(res)) == 16
