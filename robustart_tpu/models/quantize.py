@@ -136,9 +136,9 @@ def _get(tree, path):
 
 
 def _fold_all(variables, module: ResNet):
-    """Fold every conv+BN pair → {path: {"w": f32 HWIO, "b": f32[cout]}}."""
+    """Fold every conv+BN pair → ({path: {"w","b"}}, blocks, head_site)."""
     params, stats = variables["params"], variables["batch_stats"]
-    blocks, _ = _resnet_spec(module)
+    blocks, head_site = _resnet_spec(module)
     folded = {}
 
     def fold(conv_path, bn_path, kernel):
@@ -155,7 +155,7 @@ def _fold_all(variables, module: ResNet):
         if blk.downsample is not None:
             d = blk.downsample
             fold(d.name, d.bn, _get(params, d.name)["kernel"])
-    return folded, blocks
+    return folded, blocks, head_site
 
 
 # --------------------------------------------------------------------------
@@ -314,8 +314,7 @@ def quantize_classifier(
     if module.stem_s2d:
         raise ValueError("quantize_classifier expects stem_s2d=False")
 
-    folded, blocks = _fold_all(clf.variables, module)
-    _, head_site = _resnet_spec(module)
+    folded, blocks, head_site = _fold_all(clf.variables, module)
 
     # --- calibrate activation scales on the folded float net; folded
     # weights ride as jit ARGUMENTS — closure constants would be baked into

@@ -124,8 +124,6 @@ def _forward(qp, blocks_cfg, x, *, mode: str, pallas: bool):
     for i in range(depth):
         pre = f"block{i}"
         y = ln_q(x, qp[f"{pre}/norm1"], f"b{i}.qkv_in")
-        if mode == "calib":
-            y = record(f"b{i}.qkv_in", y)
         qkv = dense(y, f"b{i}.qkv_in", f"{pre}/attn/qkv")
         qkv = qkv.reshape(b, n, 3, num_heads, head_dim)
         out = _attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
@@ -133,8 +131,6 @@ def _forward(qp, blocks_cfg, x, *, mode: str, pallas: bool):
         out = out.reshape(b, n, c)
         x = x + dense(out, f"b{i}.proj_in", f"{pre}/attn/proj")
         y = ln_q(x, qp[f"{pre}/norm2"], f"b{i}.fc1_in")
-        if mode == "calib":
-            y = record(f"b{i}.fc1_in", y)
         h = dense(y, f"b{i}.fc1_in", f"{pre}/mlp/fc1")
         h = jax.nn.gelu(h, approximate=False).astype(adt)
         x = x + dense(h, f"b{i}.fc2_in", f"{pre}/mlp/fc2")

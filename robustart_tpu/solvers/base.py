@@ -307,7 +307,8 @@ class Solver:
             calib.append(np.asarray(batch.image)[np.asarray(batch.mask)])
             if i + 1 >= n_batches:
                 break
-        q = self.build_quantized(np.concatenate(calib))
+        calib = np.concatenate(calib)
+        q = self.build_quantized(calib)
         if q is None:
             return False
         qparams = jax.device_put(q.qparams)

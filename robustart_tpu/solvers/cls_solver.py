@@ -259,6 +259,19 @@ class ClsSolver(Solver):
 
             state = jax.tree_util.tree_map_with_path(put_leaf, state)
 
+        def to_host(tree):
+            """Host copy of a (possibly model-sharded) pytree. Under
+            multi-process TP, model-axis-sharded leaves span non-addressable
+            devices — gather to replicated first (a collective: every rank
+            must call this)."""
+            if multiproc and tp > 1:
+                rep = NamedSharding(train_mesh, PartitionSpec())
+                tree = jax.jit(
+                    lambda t: t,
+                    out_shardings=jax.tree.map(lambda _: rep, tree),
+                )(tree)
+            return jax.device_get(tree)
+
         step = int(state.step)
         for epoch in range(start_epoch, max_epoch):
             loader = (
@@ -285,19 +298,27 @@ class ClsSolver(Solver):
                         print_freq * batch.image.shape[0] / max(time.time() - t0, 1e-9),
                     )
                     t0 = time.time()
-                if step % val_freq == 0 and self.rank == 0:
-                    self._save_train_ckpt(state, epoch, save_dir, save_many, step)
-            if self.rank == 0:
-                self._save_train_ckpt(state, epoch + 1, save_dir, save_many, step)
+                if step % val_freq == 0:
+                    self._save_train_ckpt(
+                        state, epoch, save_dir, save_many, step, to_host
+                    )
+            self._save_train_ckpt(
+                state, epoch + 1, save_dir, save_many, step, to_host
+            )
         # leave the trained weights on the classifier for immediate eval
-        variables = {"params": jax.device_get(state.params)}
+        host = to_host({"params": state.params,
+                        "batch_stats": state.batch_stats})
+        variables = {"params": host["params"]}
         if state.batch_stats:
-            variables["batch_stats"] = jax.device_get(state.batch_stats)
+            variables["batch_stats"] = host["batch_stats"]
         self.classifier.variables = variables
         self._train_state = state
 
-    def _save_train_ckpt(self, state, epoch, save_dir, save_many, step):
-        host_state = jax.device_get(
+    def _save_train_ckpt(self, state, epoch, save_dir, save_many, step,
+                         to_host=jax.device_get):
+        # to_host runs on EVERY rank (gathering model-sharded leaves is a
+        # collective under multi-process TP); only rank 0 writes
+        host_state = to_host(
             {
                 "step": state.step,
                 "params": state.params,
@@ -306,6 +327,8 @@ class ClsSolver(Solver):
                 "ema_params": state.ema_params,
             }
         )
+        if self.rank != 0:
+            return
         variables = {"params": host_state["params"]}
         if host_state["batch_stats"]:
             variables["batch_stats"] = host_state["batch_stats"]

@@ -107,15 +107,20 @@ class MultiEvalSolver(Solver):
 
     def _online_quantized(self, loader, corrupt_fn, severity):
         """int8 PTQ for the online path (``model.quantize: int8``): calibrate
-        on device-corrupted images from the first batches — the actual eval
-        distribution — once per run (first corruption's distribution; scales
-        are per-tensor maxima, robust across corruption types)."""
+        ONCE per run on device-corrupted images from the first batches of the
+        first corruption, at the run's MAXIMUM severity — per-tensor amax
+        scales from the strongest corruption cover the milder cells (lower
+        severities produce smaller activations), avoiding the systematic
+        clipping a severity-1 calibration would cause at severity 5."""
         if self.cfg.get_path("model.quantize") != "int8":
             return None
         if getattr(self, "_online_q", None) is not None:
             return self._online_q
         import jax.numpy as jnp
 
+        severity = max(
+            list(self.cfg.get_path("data.test.severities") or [severity])
+        )
         n_batches = int(
             self.cfg.get_path("model.quantize_calib_batches") or 2
         )
@@ -206,9 +211,14 @@ class MultiEvalSolver(Solver):
             return clf.apply_fn(params, k / 255.0, train=False)
 
         step_params = self._online_qparams if qclf is not None else variables
-        if self.cfg.get_path("model.quantize") == "int8":
+        if (
+            self.cfg.get_path("model.quantize") == "int8"
+            and not getattr(self, "_quantize_checked", False)
+        ):
             # jpeg_compression (host-side codec) goes through the generic
-            # uint8 eval forward — swap it too
+            # uint8 eval forward — swap it ONCE (re-calibrating per
+            # corruption×severity would re-compile every cell)
+            self._quantize_checked = True
             self.maybe_quantize(loader)
         eval_fn = self.eval_fn()
         writer = ResultWriter(res_file, self.rank, self.world_size)

@@ -105,6 +105,11 @@ def build_schedule(lr_cfg, steps_per_epoch: int) -> optax.Schedule:
         # config.yaml:18-26: lr_steps/lr_mults + warmup_steps/max_iter)
         boundaries = [int(s) for s in kw.get("lr_steps", [])]
         mults = list(kw.get("lr_mults", [0.1] * len(boundaries)))
+        if len(mults) != len(boundaries):
+            raise ValueError(
+                f"lr_mults has {len(mults)} entries for "
+                f"{len(boundaries)} lr_steps"
+            )
         base_lr = float(kw.get("base_lr", 0.1))
         peak = float(kw.get("warmup_lr", base_lr))
         warmup_steps = int(kw.get("warmup_steps", 0))

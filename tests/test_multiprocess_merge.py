@@ -138,7 +138,7 @@ print("RANK", os.environ["RANK"], "DEVICES", jax.device_count(),
 
     port = _free_port()
     procs = [_spawn(script, rank, 2, port) for rank in range(2)]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
     # global device view: 2 processes x 4 local = 8
     assert any("DEVICES 8 LOCAL 4" in o for o in outs), outs
@@ -160,7 +160,7 @@ def test_two_process_training_stays_in_sync(tmp_path):
     cfg = {
         "model": {"type": "resnet18", "kwargs": {"num_classes": 10}},
         "data": {
-            "type": "imagenet", "read_from": "fake", "fake_size": 32,
+            "type": "imagenet", "read_from": "fake", "fake_size": 16,
             "fake_num_classes": 10, "batch_size": 8, "input_size": 32,
             "num_workers": 0,
         },
@@ -192,7 +192,7 @@ print("RANK", os.environ["RANK"], "DIGEST", repr(digest))
 
     port = _free_port()
     procs = [_spawn(script, rank, 2, port) for rank in range(2)]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
     digests = {}
     for o in outs:
@@ -203,3 +203,57 @@ print("RANK", os.environ["RANK"], "DIGEST", repr(digest))
     assert len(digests) == 2, outs
     assert digests["0"] == digests["1"], digests
     assert float(digests["0"]) > 0 and np.isfinite(float(digests["0"]))
+
+
+def test_two_process_tensor_parallel_training_checkpoints(tmp_path):
+    """Multi-process + tensor-parallel training: model-axis-sharded params
+    span non-addressable devices, so checkpoint saves must all-gather on
+    EVERY rank before rank 0 writes (regression: device_get on a sharded
+    global array raises otherwise)."""
+    cfg = {
+        "model": {"type": "deit_tiny_b16_224",
+                  "kwargs": {"num_classes": 10, "input_size": 32}},
+        "dist": {"tensor_parallel": 2},
+        "data": {
+            "type": "imagenet", "read_from": "fake", "fake_size": 16,
+            "fake_num_classes": 10, "batch_size": 4, "input_size": 32,
+            "num_workers": 0,
+        },
+        # val_freq 2 → a MID-train save happens (the crash site)
+        "saver": {"save_dir": str(tmp_path / "ck"), "val_freq": 2,
+                  "print_freq": 10},
+        "lr_scheduler": {"type": "CosineEpoch",
+                         "kwargs": {"base_lr": 0.01, "warmup_lr": 0.01,
+                                    "warmup_epoch": 0, "max_epoch": 1}},
+        "optimizer": {"type": "SGD", "kwargs": {"momentum": 0.9}},
+    }
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    script = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, os
+from robustart_tpu.solvers.cls_solver import ClsSolver
+from robustart_tpu.core.config import load_config
+
+solver = ClsSolver(load_config({cfg!r}))
+solver.train()
+p = solver.classifier.variables["params"]
+digest = float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree.leaves(p)))
+print("RANK", os.environ["RANK"], "DIGEST", repr(digest))
+""".format(cfg=cfg_path)
+
+    port = _free_port()
+    procs = [_spawn(script, rank, 2, port) for rank in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    digests = {}
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("RANK"):
+                _, r, _, d = line.split()
+                digests[r] = d
+    assert len(digests) == 2 and digests["0"] == digests["1"], digests
+    assert osp.exists(osp.join(str(tmp_path / "ck"), "ckpt.msgpack"))

@@ -47,8 +47,7 @@ def _make_clf(name="resnet18_official", size=64):
 
 def test_fold_matches_bn_forward():
     clf = _make_clf()
-    folded, blocks = _fold_all(clf.variables, clf.module)
-    _, head_site = _resnet_spec(clf.module)
+    folded, blocks, head_site = _fold_all(clf.variables, clf.module)
 
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
