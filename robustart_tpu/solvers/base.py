@@ -333,6 +333,7 @@ class Solver:
         """int8-PTQ the classifier on ``calib_images_u8`` (uint8 NHWC from
         the eval distribution). Returns the quantized classifier, or None
         for unsupported families (with a warning)."""
+        from robustart_tpu.models.mobilenet import MobileNetV2
         from robustart_tpu.models.resnet import ResNet
         from robustart_tpu.models.vit import VisionTransformer
 
@@ -348,6 +349,14 @@ class Solver:
             from robustart_tpu.models.quantize_vit import quantize_vit
 
             return quantize_vit(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        if isinstance(module, MobileNetV2):
+            from robustart_tpu.models.quantize_mobilenet import (
+                quantize_mobilenet_v2,
+            )
+
+            return quantize_mobilenet_v2(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
         logger.warning(
