@@ -244,6 +244,14 @@ class Solver:
     def build_model(self, seed: int = 0):
         mcfg = self.cfg.model
         kwargs = dict(mcfg.get("kwargs") or {})
+        # model.dtype: bf16 halves eval HBM traffic and doubles MXU rate
+        # (f32 default keeps reference-exact logits; opt in per config)
+        dtype = mcfg.get("dtype")
+        if dtype:
+            kwargs["dtype"] = {
+                "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                "f32": jnp.float32, "float32": jnp.float32,
+            }[str(dtype)]
         self.classifier = create_classifier(mcfg.type, rng=seed, **kwargs)
         load_pretrain_into(self.classifier, self.cfg.get("saver"))
         if self.tensor_parallel > 1:

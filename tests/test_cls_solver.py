@@ -128,3 +128,35 @@ def test_training_reduces_loss(tmp_path):
         correct += int((pred[batch.mask] == batch.label[batch.mask]).sum())
         total += int(batch.mask.sum())
     assert correct / total > 0.3  # memorization beats 10% chance
+
+
+def test_model_dtype_config_bf16(tmp_path):
+    """``model.dtype: bf16`` builds the eval model in bfloat16 and the CLI
+    eval still produces a valid metric + result file."""
+    import jax.numpy as jnp
+    import yaml
+
+    cfg = {
+        "model": {"type": "resnet18", "kwargs": {"num_classes": 10},
+                  "dtype": "bf16"},
+        "data": {"type": "imagenet", "read_from": "fake", "fake_size": 8,
+                 "fake_num_classes": 10, "batch_size": 8, "input_size": 32,
+                 "num_workers": 0,
+                 "test": {"evaluator": {"type": "imagenet",
+                                        "kwargs": {"topk": [1, 5]}}}},
+        "saver": {"save_dir": str(tmp_path / "ck"),
+                  "results_path": str(tmp_path / "results.txt.all")},
+        "lr_scheduler": {"type": "CosineEpoch", "kwargs": {"max_epoch": 1}},
+        "optimizer": {"type": "SGD", "kwargs": {}},
+    }
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from robustart_tpu.solvers.cls_solver import ClsSolver
+    from robustart_tpu.core.config import load_config
+
+    solver = ClsSolver(load_config(cfg_path))
+    metrics = solver.evaluate()
+    assert "top1" in metrics
+    assert solver.classifier.module.dtype == jnp.bfloat16
