@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from robustart_tpu.models.layers import normalize_01
-from robustart_tpu.models.resnet import BasicBlock, Bottleneck, ResNet
+from robustart_tpu.models.resnet import Bottleneck, ResNet
 from robustart_tpu.ops.quant import (
     conv_i8,
     fold_conv_bn,

@@ -36,7 +36,7 @@ from robustart_tpu.core.dist import (
     init_distributed,
 )
 from robustart_tpu.core.logging import get_logger
-from robustart_tpu.models import create_classifier, model_meta
+from robustart_tpu.models import create_classifier
 
 logger = get_logger("robustart.solver")
 
