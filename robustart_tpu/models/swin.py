@@ -63,18 +63,21 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    # 'auto': fused Pallas window-attention kernel on TPU (the attention
+    # core is ~58% of a swin eval forward under XLA — the tiny 49² score
+    # tensors pad to 64×128 tiles in HBM), XLA einsums elsewhere
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: np.ndarray | None = None) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: np.ndarray | None = None,
+                 deterministic: bool = True) -> jax.Array:
         bnw, n, c = x.shape
         ws = self.window_size
         head_dim = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = 1.0 / np.sqrt(head_dim)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
 
         rpb_table = self.param(
             "relative_position_bias_table",
@@ -84,6 +87,24 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(relative_position_index(ws).reshape(-1))
         bias = rpb_table[idx].reshape(n, n, self.num_heads)
+
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # eval only: the fused kernel's VJP returns zero rel_bias cotangents
+        # (fine for attacks, wrong for training the bias table)
+        if impl == "pallas" and deterministic:
+            from robustart_tpu.ops.pallas_attention import window_mha_pallas
+
+            out = window_mha_pallas(
+                q, k, v, bias.transpose(2, 0, 1),
+                None if mask is None else jnp.asarray(mask),
+                num_windows=1 if mask is None else mask.shape[0],
+            ).reshape(bnw, n, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+        scale = 1.0 / np.sqrt(head_dim)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
         attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
 
         if mask is not None:
@@ -104,6 +125,7 @@ class SwinBlock(nn.Module):
     shift: int = 0
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,8 +140,9 @@ class SwinBlock(nn.Module):
         windows = window_partition(y, ws)
         mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
         attn_out = WindowAttention(
-            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
-        )(windows, mask)
+            self.dim, self.num_heads, ws,
+            attention_impl=self.attention_impl, dtype=self.dtype, name="attn"
+        )(windows, mask, deterministic=deterministic)
         y = window_reverse(attn_out, ws, h, w)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -138,6 +161,7 @@ class SwinTransformer(nn.Module):
     window_size: int = 7
     num_classes: int = 1000
     drop_path: float = 0.1
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -174,6 +198,7 @@ class SwinTransformer(nn.Module):
                     dim, heads, resolution=res, window_size=self.window_size,
                     shift=0 if di % 2 == 0 else self.window_size // 2,
                     drop_path=self.drop_path * bi / max(total - 1, 1),
+                    attention_impl=self.attention_impl,
                     dtype=self.dtype, name=f"stage{si}_block{di}",
                 )(x, deterministic=deterministic)
                 bi += 1
