@@ -42,29 +42,58 @@ class Evaluator:
 
     @staticmethod
     def add_subparser(name, subparsers):
+        """Offline-CLI subcommand hook (reference
+        imagenetc_evaluator.py:77-86; every reference evaluator exposes the
+        same ``--config``/``--res_file`` vocabulary). ``--config`` is
+        optional here: our evaluator ctors carry usable defaults."""
         subparser = subparsers.add_parser(
             name, help=f"subcommand for {name} metric"
         )
         subparser.add_argument(
-            "--config", dest="config", required=True,
+            "--config", dest="config", default=None,
             help="settings of classification in yaml format",
         )
         subparser.add_argument(
-            "--res_file", required=True, action="append",
+            "--res_file", action="append", default=None,
             help="results file of classification",
         )
         return subparser
 
     @classmethod
     def from_args(cls, args):
-        import yaml
+        """Build the evaluator from parsed CLI args (reference
+        imagenetc_evaluator.py:88-94 reads ``data.evaluator.kwargs``; we
+        also accept the solver schema's ``data.test.evaluator.kwargs`` and
+        drop keys the ctor doesn't take)."""
+        import inspect
 
-        with open(args.config) as f:
-            config = yaml.safe_load(f)
-        kwargs = (
-            config.get("data", {}).get("evaluator", {}).get("kwargs", {})
-        )
+        kwargs = {}
+        config_path = getattr(args, "config", None)
+        if config_path:
+            import yaml
+
+            with open(config_path) as f:
+                config = yaml.safe_load(f) or {}
+            data = config.get("data") or {}
+            ev = (
+                data.get("evaluator")
+                or (data.get("test") or {}).get("evaluator")
+                or {}
+            )
+            kwargs = dict(ev.get("kwargs") or {})
+        accepted = inspect.signature(cls.__init__).parameters
+        kwargs = {k: v for k, v in kwargs.items() if k in accepted}
         return cls(**kwargs)
+
+    def run_from_args(self, args):
+        """Default offline-CLI body: eval each ``--res_file``."""
+        out = {}
+        for res_file in args.res_file or []:
+            metric = self.eval(res_file)
+            out[res_file] = (
+                dict(metric.metric) if isinstance(metric, Metric) else metric
+            )
+        return out
 
 
 def load_res_columns(res_file: str) -> dict[str, list]:

@@ -61,6 +61,13 @@ class ImageNetEvaluator(Evaluator):
     def __init__(self, topk=(1, 5)):
         self.topk = tuple(topk)
 
+    def run_from_args(self, args) -> dict:
+        """Offline CLI body (reference imagenetc_evaluator.py:77-94 hooks)."""
+        out = {}
+        for res_file in args.res_file:
+            out[res_file] = dict(self.eval(res_file).metric)
+        return out
+
     def load_res(self, res_file):
         return load_res_columns(res_file)
 
@@ -108,6 +115,13 @@ class ImageNetAEvaluator(Evaluator):
     def clear(self):
         self.metric.metric = {}
 
+    def run_from_args(self, args) -> dict:
+        out = {}
+        for res_file in args.res_file:
+            out[res_file] = self.eval(res_file)
+        out.update(self.get_mean())
+        return out
+
 
 class ImageNetOEvaluator(Evaluator):
     """OOD detection AUPR from in-dist/out-dist confidence dumps
@@ -146,6 +160,27 @@ class ImageNetOEvaluator(Evaluator):
 
     def clear(self):
         self.metric.metric = {}
+
+    @staticmethod
+    def add_subparser(name, subparsers):
+        subparser = Evaluator.add_subparser(name, subparsers)
+        subparser.add_argument(
+            "--res_file_in", default=None,
+            help="in-distribution confidence result file",
+        )
+        subparser.add_argument(
+            "--res_file_out", default=None,
+            help="out-of-distribution confidence result file",
+        )
+        return subparser
+
+    def run_from_args(self, args) -> dict:
+        res_in = args.res_file_in
+        res_out = args.res_file_out
+        if res_in is None or res_out is None:
+            # reference vocabulary: two --res_file entries, in then out
+            res_in, res_out = (args.res_file or [None, None])[:2]
+        return self.eval(res_file_in=res_in, res_file_out=res_out)
 
 
 class ImageNetPEvaluator(Evaluator):
@@ -189,6 +224,23 @@ class ImageNetPEvaluator(Evaluator):
     def clear(self):
         self.metric.metric = {}
 
+    @staticmethod
+    def add_subparser(name, subparsers):
+        subparser = Evaluator.add_subparser(name, subparsers)
+        subparser.add_argument(
+            "--perturbation", action="append", default=None,
+            help="perturbation name per --res_file (paired by order)",
+        )
+        return subparser
+
+    def run_from_args(self, args) -> dict:
+        perts = args.perturbation or [None] * len(args.res_file or [])
+        out = {}
+        for res_file, pert in zip(args.res_file or [], perts):
+            out.update(self.eval(res_file, perturbation=pert or res_file))
+        out.update(self.get_mean())
+        return out
+
 
 class ImageNetSEvaluator(Evaluator):
     """Top-1 per (decoder, resize) combination; stability = mean/std across
@@ -216,6 +268,31 @@ class ImageNetSEvaluator(Evaluator):
 
     def clear(self):
         self.metric.metric = {}
+
+    @staticmethod
+    def add_subparser(name, subparsers):
+        subparser = Evaluator.add_subparser(name, subparsers)
+        subparser.add_argument(
+            "--decoder_type", action="append", default=None,
+            help="decoder per --res_file (paired by order)",
+        )
+        subparser.add_argument(
+            "--resize_type", action="append", default=None,
+            help="resize mode per --res_file (paired by order)",
+        )
+        return subparser
+
+    def run_from_args(self, args) -> dict:
+        files = args.res_file or []
+        decs = args.decoder_type or ["pil"] * len(files)
+        sizes = args.resize_type or ["pil-bilinear"] * len(files)
+        out = {}
+        for res_file, dec, rez in zip(files, decs, sizes):
+            res = self.eval(res_file, decoder_type=dec, resize_type=rez)
+            out.update({f"{d}/{r}": acc for (d, r), acc in res.items()})
+        out.update(self.get_mean())
+        out.update(self.get_std())
+        return out
 
 
 def _parse_line(line: str) -> tuple[str, str]:
@@ -258,6 +335,29 @@ class AdvRobustEvaluator(Evaluator):
         )
         return ar
 
+    @staticmethod
+    def add_subparser(name, subparsers):
+        subparser = Evaluator.add_subparser(name, subparsers)
+        subparser.add_argument(
+            "--clean_path", default=None, help="clean result file"
+        )
+        subparser.add_argument(
+            "--adv_path", action="append", default=None,
+            help="attacked result file",
+        )
+        subparser.add_argument(
+            "--num_samples", type=int, default=None,
+            help="limit the number of result lines compared",
+        )
+        return subparser
+
+    def run_from_args(self, args) -> dict:
+        adv = (args.adv_path or [None])[0]
+        return {
+            "AR": self.eval(args.clean_path, adv,
+                            num_samples=args.num_samples)
+        }
+
 
 class WorstCaseAdvRobustEvaluator(Evaluator):
     """WCAR: sample counts only if correct under ALL attack result files
@@ -287,6 +387,14 @@ class WorstCaseAdvRobustEvaluator(Evaluator):
         wcar = cnt_after / cnt_before * 100
         print("Worst-Case Adversarial Robustness: {}".format(wcar))
         return wcar
+
+    add_subparser = staticmethod(AdvRobustEvaluator.add_subparser)
+
+    def run_from_args(self, args) -> dict:
+        return {
+            "WCAR": self.eval(args.clean_path, args.adv_path or [],
+                              num_samples=args.num_samples)
+        }
 
 
 # ImageNet-C mCE needs AlexNet normalization constants: published per-

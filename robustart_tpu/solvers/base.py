@@ -112,7 +112,38 @@ def apply_pretrain(
     return rebuild(variables)
 
 
-def load_pretrain_into(classifier, saver_cfg) -> None:
+def select_eval_variables(ckpt: dict, use_ema: bool | None = None) -> Any:
+    """Pick the eval weights out of a loaded checkpoint dict.
+
+    The reference's ``ema`` technique axis exists to benchmark the
+    EMA-averaged weights (reference
+    exprs/nips_benchmark/ema/resnet50/config.yaml:30-32, decay 0.9999), so
+    evaluating an EMA-trained checkpoint defaults to the EMA copy.
+
+    ``use_ema``: ``None`` = auto (EMA when the checkpoint carries a
+    non-empty ``ema_params``), ``True`` = require EMA (error when absent),
+    ``False`` = always the raw weights.
+    """
+    variables = ckpt.get("variables") or {}
+    state = (ckpt.get("extra") or {}).get("state") or {}
+    ema = state.get("ema_params") or {}
+    if use_ema is False:
+        return variables
+    if not ema:
+        if use_ema:
+            raise ValueError(
+                "model.use_ema: true but the checkpoint has no ema_params"
+            )
+        return variables
+    out = dict(variables)
+    out["params"] = ema
+    logger.info(
+        "eval: using EMA weights from checkpoint (model.use_ema=%s)", use_ema
+    )
+    return out
+
+
+def load_pretrain_into(classifier, saver_cfg, use_ema: bool | None = None) -> None:
     """Load ``saver.pretrain.path`` (flax msgpack or torch .pth) in place."""
     pretrain = (saver_cfg or {}).get("pretrain") or {}
     path = pretrain.get("path")
@@ -124,7 +155,7 @@ def load_pretrain_into(classifier, saver_cfg) -> None:
 
         ckpt_vars = load_torch_checkpoint(path, classifier)
     else:
-        ckpt_vars = load_checkpoint(path)["variables"]
+        ckpt_vars = select_eval_variables(load_checkpoint(path), use_ema)
     classifier.variables = apply_pretrain(
         classifier.variables,
         ckpt_vars,
@@ -253,7 +284,10 @@ class Solver:
                 "f32": jnp.float32, "float32": jnp.float32,
             }[str(dtype)]
         self.classifier = create_classifier(mcfg.type, rng=seed, **kwargs)
-        load_pretrain_into(self.classifier, self.cfg.get("saver"))
+        load_pretrain_into(
+            self.classifier, self.cfg.get("saver"),
+            use_ema=mcfg.get("use_ema"),
+        )
         if self.tensor_parallel > 1:
             from robustart_tpu.parallel.sharding import shard_params
 

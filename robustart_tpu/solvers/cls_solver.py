@@ -16,6 +16,7 @@ batch axis (replaces DDP allreduce + the ``dist.sync`` toggle, SURVEY.md
 
 from __future__ import annotations
 
+import json
 import os
 import os.path as osp
 import time
@@ -37,6 +38,7 @@ from robustart_tpu.solvers.base import (
     Solver,
     load_checkpoint,
     save_checkpoint,
+    select_eval_variables,
     standard_solver_argparser,
 )
 from robustart_tpu.solvers.optim import (
@@ -75,12 +77,13 @@ class ClsSolver(Solver):
             seed=int(cfg.get("seed", 0)),
         )
         steps_per_epoch = len(loader0)
+        max_iter = 0
         if "max_epoch" not in lr_kwargs and "max_iter" in lr_kwargs:
             # iteration-budgeted recipes (reference exp/models/.../config.yaml:
-            # Step scheduler with max_iter 125000, no max_epoch)
-            max_epoch = max(
-                -(-int(lr_kwargs["max_iter"]) // max(steps_per_epoch, 1)), 1
-            )
+            # Step scheduler with max_iter 125000, no max_epoch) stop at
+            # exactly max_iter steps, mid-epoch if needed
+            max_iter = int(lr_kwargs["max_iter"])
+            max_epoch = max(-(-max_iter // max(steps_per_epoch, 1)), 1)
         schedule = build_schedule(cfg.lr_scheduler, steps_per_epoch)
         tx = build_optimizer(cfg.optimizer, schedule)
 
@@ -272,7 +275,17 @@ class ClsSolver(Solver):
                 )(tree)
             return jax.device_get(tree)
 
+        # scalar training-history artifact (the reference logged curves via
+        # tensorboardx inside the missing solver, reference
+        # requirements.txt:11; a JSONL of step scalars is the durable
+        # file-based equivalent of that observability)
+        history_f = None
+        if self.rank == 0:
+            os.makedirs(save_dir, exist_ok=True)
+            history_f = open(osp.join(save_dir, "train_history.jsonl"), "a")
+
         step = int(state.step)
+        stop = False
         for epoch in range(start_epoch, max_epoch):
             loader = (
                 loader0
@@ -297,21 +310,37 @@ class ClsSolver(Solver):
                         epoch, step, m["loss"], m["acc"], m["lr"],
                         print_freq * batch.image.shape[0] / max(time.time() - t0, 1e-9),
                     )
+                    if history_f is not None:
+                        history_f.write(json.dumps({
+                            "step": step, "epoch": epoch,
+                            "loss": float(m["loss"]), "acc": float(m["acc"]),
+                            "lr": float(m["lr"]), "time": time.time(),
+                        }) + "\n")
+                        history_f.flush()
                     t0 = time.time()
                 if step % val_freq == 0:
                     self._save_train_ckpt(
                         state, epoch, save_dir, save_many, step, to_host
                     )
+                if max_iter and step >= max_iter:
+                    stop = True
+                    break
             self._save_train_ckpt(
                 state, epoch + 1, save_dir, save_many, step, to_host
             )
+            if stop:
+                break
+        if history_f is not None:
+            history_f.close()
         # leave the trained weights on the classifier for immediate eval
         host = to_host({"params": state.params,
-                        "batch_stats": state.batch_stats})
+                        "batch_stats": state.batch_stats,
+                        "ema_params": state.ema_params})
         variables = {"params": host["params"]}
         if state.batch_stats:
             variables["batch_stats"] = host["batch_stats"]
         self.classifier.variables = variables
+        self._ema_params_host = host["ema_params"] if ema_enabled else None
         self._train_state = state
 
     def _save_train_ckpt(self, state, epoch, save_dir, save_many, step,
@@ -342,6 +371,7 @@ class ClsSolver(Solver):
     def evaluate(self, ckpt_path: str | None = None,
                  results_path: str | None = None) -> dict:
         cfg = self.cfg
+        use_ema = cfg.get_path("model.use_ema")
         if self.classifier is None:
             self.build_model(seed=int(cfg.get("seed", 0)))
         if ckpt_path:
@@ -350,7 +380,17 @@ class ClsSolver(Solver):
                     f for f in os.listdir(ckpt_path) if f.endswith(".msgpack")
                 )
                 ckpt_path = osp.join(ckpt_path, cands[-1])
-            self.classifier.variables = load_checkpoint(ckpt_path)["variables"]
+            self.classifier.variables = select_eval_variables(
+                load_checkpoint(ckpt_path), use_ema
+            )
+        elif use_ema is not False and getattr(self, "_ema_params_host", None):
+            # post-train eval on an EMA-trained run defaults to the EMA copy
+            # (reference ema technique axis,
+            # exprs/nips_benchmark/ema/resnet50/config.yaml:30-32)
+            variables = dict(self.classifier.variables)
+            variables["params"] = self._ema_params_host
+            self.classifier.variables = variables
+            logger.info("eval: using EMA weights from the training run")
 
         loader = build_dataloader(
             cfg.data, "test", self.rank, self.world_size,

@@ -130,6 +130,77 @@ def test_training_reduces_loss(tmp_path):
     assert correct / total > 0.3  # memorization beats 10% chance
 
 
+def test_train_history_jsonl(trained):
+    """Train solvers emit a step-scalar JSONL (reference logged curves via
+    tensorboardx, reference requirements.txt:11)."""
+    solver, tmp_path = trained
+    hist = tmp_path / "checkpoints" / "train_history.jsonl"
+    assert hist.exists()
+    recs = [json.loads(l) for l in open(hist)]
+    assert len(recs) == 4  # 8 steps / print_freq 2
+    assert set(recs[0]) == {"step", "epoch", "loss", "acc", "lr", "time"}
+    assert recs[-1]["step"] == 8
+
+
+def test_ema_weights_used_for_eval(tmp_path):
+    """EMA-trained checkpoints evaluate the EMA copy by default and under
+    ``model.use_ema: true``; ``model.use_ema: false`` keeps the raw weights
+    (reference ema axis, exprs/nips_benchmark/ema/resnet50/config.yaml:30-32)."""
+    from robustart_tpu.solvers.base import (
+        _tree_flatten_with_names,
+        load_checkpoint,
+    )
+
+    cfg = _cfg(tmp_path)
+    cfg.lr_scheduler.kwargs.max_epoch = 1
+    cfg.ema = {"enable": True, "kwargs": {"decay": 0.5}}
+    solver = ClsSolver(cfg)
+    solver.train()
+
+    ckpt = load_checkpoint(str(tmp_path / "checkpoints" / "ckpt.msgpack"))
+    raw = _tree_flatten_with_names(ckpt["variables"]["params"])
+    ema = _tree_flatten_with_names(ckpt["extra"]["state"]["ema_params"])
+    key = next(k for k in raw if "kernel" in k)
+    assert not np.allclose(raw[key], ema[key])  # training moved the weights
+
+    # post-train evaluate() swaps in the EMA copy
+    solver.evaluate()
+    got = _tree_flatten_with_names(solver.classifier.variables["params"])
+    np.testing.assert_allclose(np.asarray(got[key]), ema[key])
+
+    # fresh solver evaluating from the checkpoint defaults to EMA too
+    cfg2 = _cfg(tmp_path)
+    cfg2.saver.results_path = str(tmp_path / "r_ema" / "results.txt.all")
+    s2 = ClsSolver(cfg2)
+    s2.evaluate(ckpt_path=str(tmp_path / "checkpoints"))
+    got2 = _tree_flatten_with_names(s2.classifier.variables["params"])
+    np.testing.assert_allclose(np.asarray(got2[key]), ema[key])
+
+    # explicit opt-out keeps raw weights
+    cfg3 = _cfg(tmp_path)
+    cfg3.model.use_ema = False
+    cfg3.saver.results_path = str(tmp_path / "r_raw" / "results.txt.all")
+    s3 = ClsSolver(cfg3)
+    s3.evaluate(ckpt_path=str(tmp_path / "checkpoints"))
+    got3 = _tree_flatten_with_names(s3.classifier.variables["params"])
+    np.testing.assert_allclose(np.asarray(got3[key]), raw[key])
+
+
+def test_max_iter_stops_mid_epoch(tmp_path):
+    """Iteration-budgeted recipes stop at exactly max_iter steps (reference
+    exp/models Step-scheduler configs use max_iter with no max_epoch)."""
+    cfg = _cfg(tmp_path)
+    cfg.ema = {"enable": False}
+    cfg.lr_scheduler = Config({
+        "type": "Step",
+        "kwargs": {"base_lr": 0.01, "lr_steps": [2], "lr_mults": [0.1],
+                   "max_iter": 3},
+    })
+    solver = ClsSolver(cfg)
+    solver.train()
+    assert int(solver._train_state.step) == 3  # not 4 (steps_per_epoch)
+
+
 def test_model_dtype_config_bf16(tmp_path):
     """``model.dtype: bf16`` builds the eval model in bfloat16 and the CLI
     eval still produces a valid metric + result file."""
