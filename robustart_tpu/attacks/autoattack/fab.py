@@ -208,18 +208,21 @@ def fab_attack_targeted(
             (1 - alpha_t) * (x_i + eta * d_i) + alpha_t * (x + eta * d_o),
             0.0, 1.0,
         )
-        f2, _, pred2 = f_and_grad(x_next)
+        pred2 = jnp.argmax(logits_fn(variables, x_next), 1)
         is_adv = pred2 != labels
-        # backward step toward the original on success
+        # record the ADVERSARIAL point (reference fab_base.py records into
+        # adv_c before the backward step; recording after it would store a
+        # point stepped back across the boundary — no longer adversarial)
+        cur_norm = _norms(x_next - x, norm)
+        improved = is_adv & (cur_norm < best_norm)
+        best_norm = jnp.where(improved, cur_norm, best_norm)
+        x_best = jnp.where(improved.reshape((-1,) + tail), x_next, x_best)
+        # backward step toward the original on success → next iterate only
         x_next = jnp.where(
             is_adv.reshape((-1,) + tail),
             jnp.clip((1 - beta) * x + beta * x_next, 0.0, 1.0),
             x_next,
         )
-        cur_norm = _norms(x_next - x, norm)
-        improved = is_adv & (cur_norm < best_norm)
-        best_norm = jnp.where(improved, cur_norm, best_norm)
-        x_best = jnp.where(improved.reshape((-1,) + tail), x_next, x_best)
         return x_next, x_best, best_norm
 
     x_i, x_best, best_norm = jax.lax.fori_loop(

@@ -37,9 +37,11 @@ class CLIPEncoderBlock(nn.Module):
         b, n, c = x.shape
         head_dim = c // self.num_heads
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        # head-major packed qkv (H, 3, D) — TP-friendly layout (see
+        # models/vit.py Attention; converters permute from torch's 3-major)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qkv = qkv.reshape(b, n, self.num_heads, 3, head_dim)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
         scale = 1.0 / np.sqrt(head_dim)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
         attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)

@@ -15,6 +15,38 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from robustart_tpu.models.layers import DropPath
+from robustart_tpu.ops.pallas_convnext import (
+    dwconv_ln_pallas,
+    dwconv_ln_reference,
+)
+
+
+class _DWConv7Params(nn.Module):
+    """Parameter holder matching ``nn.Conv(dim, (7,7), groups=dim)``'s tree
+    (kernel (7,7,1,C) + bias) so checkpoints/converters are unaffected by
+    the fused-kernel path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 1, self.dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Parameter holder matching ``nn.LayerNorm``'s tree (scale + bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
 
 
 class GRN(nn.Module):
@@ -36,16 +68,28 @@ class ConvNeXtBlock(nn.Module):
     drop_path: float = 0.0
     layer_scale_init: float = 1e-6  # <=0 disables LayerScale (V2)
     use_grn: bool = False
+    # 'auto' resolves to 'xla': the functional dwconv+LN (ops/
+    # pallas_convnext.dwconv_ln_reference) lets XLA fuse conv+bias+LN into
+    # one pass at ~VPU peak (measured 2.5 TF/s — the 49-tap depthwise conv
+    # is VPU-FLOP-bound, not bandwidth-bound). The Pallas kernel
+    # ('pallas') measured SLOWER (1,110 vs 1,452 img/s model-level,
+    # WORKLOG r3): its shifted-window reads pay sublane rotations XLA's
+    # codegen avoids. Kept as an opt-in for future chip generations.
+    block_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         shortcut = x
-        x = nn.Conv(
-            self.dim, (7, 7), padding=[(3, 3), (3, 3)],
-            feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
-        )(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        dw_kernel, dw_bias = _DWConv7Params(self.dim, name="dwconv")()
+        ln_scale, ln_bias = _LNParams(self.dim, name="norm")()
+        impl = self.block_impl
+        if impl == "auto":
+            impl = "xla"
+        if impl == "pallas":
+            x = dwconv_ln_pallas(x, dw_kernel, dw_bias, ln_scale, ln_bias)
+        else:
+            x = dwconv_ln_reference(x, dw_kernel, dw_bias, ln_scale, ln_bias)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
         if self.use_grn:
@@ -67,6 +111,7 @@ class ConvNeXt(nn.Module):
     num_classes: int = 1000
     drop_path: float = 0.0
     use_grn: bool = False  # True = ConvNeXtV2
+    block_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -95,6 +140,7 @@ class ConvNeXt(nn.Module):
                     drop_path=self.drop_path * bi / max(total - 1, 1),
                     layer_scale_init=0.0 if self.use_grn else 1e-6,
                     use_grn=self.use_grn,
+                    block_impl=self.block_impl,
                     dtype=self.dtype,
                     name=f"stage{si}_block{di}",
                 )(x, deterministic=deterministic)

@@ -125,8 +125,9 @@ def _forward(qp, blocks_cfg, x, *, mode: str, pallas: bool):
         pre = f"block{i}"
         y = ln_q(x, qp[f"{pre}/norm1"], f"b{i}.qkv_in")
         qkv = dense(y, f"b{i}.qkv_in", f"{pre}/attn/qkv")
-        qkv = qkv.reshape(b, n, 3, num_heads, head_dim)
-        out = _attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+        # head-major packed qkv (models/vit.py Attention layout)
+        qkv = qkv.reshape(b, n, num_heads, 3, head_dim)
+        out = _attention(qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2],
                          pallas=pallas and mode == "int8")
         out = out.reshape(b, n, c)
         x = x + dense(out, f"b{i}.proj_in", f"{pre}/attn/proj")

@@ -71,13 +71,25 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: np.ndarray | None = None,
-                 deterministic: bool = True) -> jax.Array:
-        bnw, n, c = x.shape
+                 deterministic: bool = True, shift: int = 0) -> jax.Array:
+        """x is the SPATIAL post-LN tensor (B, H, W, C): qkv and proj run on
+        the spatial layout (rows B·H·W tile the MXU without the 49→56
+        sublane padding the windowed (B·nW, 49, C) layout pays), and only
+        the attention core sees windows (VERDICT r2 #4). The shift roll
+        happens here, on the C-wide tensor, before qkv."""
+        b, hh, ww_, c = x.shape
         ws = self.window_size
+        n = ws * ws
         head_dim = c // self.num_heads
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        # head-major packed qkv (H, 3, D) — TP-friendly layout (see
+        # models/vit.py Attention; converters permute from torch's 3-major)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        windows = window_partition(qkv, ws)  # (B·nW, n, 3C)
+        bnw = windows.shape[0]
+        qkv = windows.reshape(bnw, n, self.num_heads, 3, head_dim)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
 
         rpb_table = self.param(
             "relative_position_bias_table",
@@ -91,8 +103,9 @@ class WindowAttention(nn.Module):
         impl = self.attention_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        # eval only: the fused kernel's VJP returns zero rel_bias cotangents
-        # (fine for attacks, wrong for training the bias table)
+        # deterministic forwards only (train-mode dropout needs the einsum
+        # path); the kernel's VJP is exact for q/k/v AND the bias table, so
+        # both attacks and parameter gradients differentiate through it
         if impl == "pallas" and deterministic:
             from robustart_tpu.ops.pallas_attention import window_mha_pallas
 
@@ -101,19 +114,21 @@ class WindowAttention(nn.Module):
                 None if mask is None else jnp.asarray(mask),
                 num_windows=1 if mask is None else mask.shape[0],
             ).reshape(bnw, n, c)
-            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        else:
+            scale = 1.0 / np.sqrt(head_dim)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
 
-        scale = 1.0 / np.sqrt(head_dim)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
-
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
-            attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(bnw, self.num_heads, n, n)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(bnw, n, c)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
+                attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(bnw, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(bnw, n, c)
+        out = window_reverse(out, ws, hh, ww_)  # spatial (B, H, W, C)
+        if shift > 0:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -135,17 +150,11 @@ class SwinBlock(nn.Module):
         shift = self.shift if ws < self.resolution else 0
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        windows = window_partition(y, ws)
         mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
-        attn_out = WindowAttention(
+        y = WindowAttention(
             self.dim, self.num_heads, ws,
             attention_impl=self.attention_impl, dtype=self.dtype, name="attn"
-        )(windows, mask, deterministic=deterministic)
-        y = window_reverse(attn_out, ws, h, w)
-        if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        )(y, mask, deterministic=deterministic, shift=shift)
         x = shortcut + DropPath(self.drop_path)(y, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)

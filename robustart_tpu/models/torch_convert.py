@@ -407,6 +407,40 @@ def _swin_merge_fixup(flax_name: str, v: np.ndarray) -> np.ndarray:
     return v[perm]
 
 
+def model_head_dim(module) -> int | None:
+    """Attention head dim for transformer families (None for CNNs) — needed
+    by the qkv head-major permutation at conversion time."""
+    cls = type(module).__name__
+    if cls in ("VisionTransformer", "CifarViT"):
+        return module.embed_dim // module.num_heads
+    if cls == "SwinTransformer":
+        # head_dim is constant across stages (dim and heads double together)
+        return module.embed_dim // module.num_heads[0]
+    if cls == "CLIPVisionClassifier":
+        return module.width // module.num_heads
+    return None
+
+
+def _qkv_headmajor_fixup(head_dim: int):
+    """Torch packs qkv 3-major — rows [q; k; v], each (H, D) — while our
+    models use the head-major (H, 3, D) column order (models/vit.py
+    Attention: the Megatron TP layout, so a column shard is a contiguous
+    head group). Permute the packed output axis accordingly."""
+
+    def fixup(flax_name: str, v: np.ndarray) -> np.ndarray:
+        if not re.search(r"qkv/(kernel|bias)$", flax_name):
+            return v
+        three_c = v.shape[-1]
+        h = three_c // 3 // head_dim
+        if flax_name.endswith("kernel"):
+            w = v.reshape(v.shape[0], 3, h, head_dim)
+            return np.transpose(w, (0, 2, 1, 3)).reshape(v.shape)
+        bm = v.reshape(3, h, head_dim)
+        return np.transpose(bm, (1, 0, 2)).reshape(v.shape)
+
+    return fixup
+
+
 def _convert_tensor(flax_name: str, torch_value: np.ndarray, target_shape):
     v = torch_value
     if v.ndim == 4 and flax_name.endswith("kernel"):
@@ -422,18 +456,38 @@ def _convert_tensor(flax_name: str, torch_value: np.ndarray, target_shape):
 
 
 def convert_state_dict(
-    state_dict: dict[str, np.ndarray], variables: Any, family
+    state_dict: dict[str, np.ndarray], variables: Any, family,
+    head_dim: int | None = None,
 ) -> tuple[Any, list[str]]:
     """Convert a torch state dict into the flax ``variables`` structure.
 
     ``family`` is a family name from ``_FAMILY_RULES`` or a rule callable
-    (module-parameterized families use ``resolve_rule``). Returns
-    (new_variables, missing_names); absent/shape-incompatible tensors keep
-    their initialized values and are reported.
+    (module-parameterized families use ``resolve_rule``). ``head_dim`` is
+    REQUIRED when the target has packed qkv layers (transformers) — pass
+    ``model_head_dim(module)`` — so the 3-major → head-major column
+    permutation is applied; forgetting it would silently scramble
+    attention. Returns (new_variables, missing_names);
+    absent/shape-incompatible tensors keep their initialized values and are
+    reported.
     """
     rule = _FAMILY_RULES[family] if isinstance(family, str) else family
-    fixup = _swin_merge_fixup if rule is _swin_torch_name else None
     flat = flatten(variables)
+    fixups = []
+    if rule is _swin_torch_name:
+        fixups.append(_swin_merge_fixup)
+    if any(re.search(r"qkv/(kernel|bias)$", n) for n in flat):
+        if head_dim is None:
+            raise ValueError(
+                "target has packed qkv layers: pass "
+                "head_dim=model_head_dim(module) so the head-major "
+                "permutation is applied"
+            )
+        fixups.append(_qkv_headmajor_fixup(head_dim))
+
+    def fixup(name, v):
+        for f in fixups:
+            v = f(name, v)
+        return v
     out = {}
     missing = []
     for name, value in flat.items():
@@ -458,8 +512,7 @@ def convert_state_dict(
             missing.append(f"{name} <- {torch_key}")
             out[name] = value
         else:
-            if fixup is not None:
-                conv = fixup(name, np.asarray(conv))
+            conv = fixup(name, np.asarray(conv))
             out[name] = np.asarray(conv, dtype=np.asarray(value).dtype)
     return unflatten(out), missing
 
@@ -486,7 +539,8 @@ def load_torch_checkpoint(path: str, classifier) -> Any:
     state_dict = read_torch_state_dict(path)
     rule = resolve_rule(classifier.module)
     variables, missing = convert_state_dict(
-        state_dict, classifier.variables, rule
+        state_dict, classifier.variables, rule,
+        head_dim=model_head_dim(classifier.module),
     )
     if missing:
         logger.warning(

@@ -53,10 +53,14 @@ class Attention(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         b, n, c = x.shape
         head_dim = c // self.num_heads
-        # packed qkv: one MXU matmul instead of three
+        # packed qkv: one MXU matmul instead of three. HEAD-MAJOR column
+        # order (H, 3, D) — the Megatron TP layout: a column shard of the
+        # kernel is a contiguous group of heads, so head-sharded attention
+        # follows without the per-block all-gather the torch (3, H, D)
+        # packing forces (converters permute, torch_convert.py qkv fixup)
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
+        qkv = qkv.reshape(b, n, self.num_heads, 3, head_dim)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # (b, n, h, d)
         scale = 1.0 / np.sqrt(head_dim)
         impl = self.attention_impl
         if impl == "auto":

@@ -78,7 +78,11 @@ def decode_image(
         return img
     if decoder_type == "ffmpeg":
         if shutil.which("ffmpeg") is not None and filepath is not None:
-            # bit-exact reference path (reference imagenet_s_gen.py:203-218)
+            # reference path (reference imagenet_s_gen.py:203-218) —
+            # bit-exact for color_mode RGB. Intentional deviation: the
+            # reference's ffmpeg branch ignores color_mode and always
+            # returns RGB; we honor BGR/GRAY below for decoder-axis
+            # consistency (pil/opencv branches convert too).
             probe = cv2.imdecode(filebytes, cv2.IMREAD_COLOR)
             height, width = probe.shape[0], probe.shape[1]
             out = subprocess.run(

@@ -233,9 +233,10 @@ def _window_mha_fwd(q, k, v, rel_bias, mask, num_heads, num_windows,
 
 
 def _window_mha_bwd(num_heads, num_windows, interpret, residuals, g):
-    """Standard attention gradients for q/k/v (attacks differentiate through
-    the fused eval forward). rel_bias/mask get ZERO cotangents — the Pallas
-    path is eval-only (training uses the einsum path where rel_bias trains)."""
+    """Standard attention gradients (XLA einsums). rel_bias and mask enter
+    the scores additively, so their cotangents are plain reductions of the
+    score gradient — parameter gradients through the fused eval forward
+    (e.g. probing the relative-position bias table) are exact, not zeroed."""
     del interpret
     q, k, v, rel_bias, mask = residuals
     bnw, n, h, d = q.shape
@@ -250,14 +251,24 @@ def _window_mha_bwd(num_heads, num_windows, interpret, residuals, g):
     p = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(q.dtype)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, g)
     dp = jnp.einsum("bqhd,bkhd->bhqk", g, v)
-    tmp = dp * p
-    ds = tmp - p * jnp.sum(tmp, axis=-1, keepdims=True)
+    tmp = (dp * p).astype(jnp.float32)
+    ds = tmp - p.astype(jnp.float32) * jnp.sum(tmp, axis=-1, keepdims=True)
+    ds = ds.astype(q.dtype)
     dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k) * scale
     dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q) * scale
-    d_bias = jnp.zeros_like(rel_bias)
-    d_mask = None if mask is None else jnp.zeros_like(mask)
+    d_bias = jnp.sum(ds.astype(jnp.float32), axis=0)  # (H, N, N)
+    d_mask = (
+        None
+        if mask is None
+        else jnp.sum(
+            ds.astype(jnp.float32).reshape(bnw // num_windows, num_windows,
+                                           h, n, n),
+            axis=(0, 2),
+        )
+    )
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            d_bias, d_mask)
+            d_bias.astype(rel_bias.dtype),
+            None if d_mask is None else d_mask.astype(mask.dtype))
 
 
 _window_mha.defvjp(_window_mha_fwd, _window_mha_bwd)

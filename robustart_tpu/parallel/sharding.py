@@ -6,10 +6,14 @@ toggle (SURVEY.md §2.11). The TPU-native superset here:
 - **dp**: batch axis over the ``data`` mesh axis — the default for every
   solver; gradient sync is the XLA ``psum`` implied by sharded-batch
   reductions, riding ICI.
-- **tp** (beyond the reference, for large ViT/Mixer configs): shard the
-  output dimension of 2-D Dense kernels over the ``model`` axis —
-  qkv/proj/mlp matmuls become sharded matmuls with XLA-inserted
-  all-gathers/reduce-scatters between them.
+- **tp** (beyond the reference, for large ViT/Mixer configs):
+  Megatron-style column/row pairing over the ``model`` axis — the FIRST
+  matmul of each pair (qkv, fc1, pwconv1) is column-sharded (output dim,
+  bias sharded to match) and the SECOND (proj, fc2, pwconv2) is
+  row-sharded (input dim), so each attention/MLP pair costs ONE psum at
+  its end instead of an all-gather after every layer. Verified at the HLO
+  level (tests/test_tp_collectives.py counts collectives in the compiled
+  module).
 - optimizer state inherits param shardings (same pytree structure).
 
 Used by ``__graft_entry__.dryrun_multichip`` and available to solvers via
@@ -33,16 +37,35 @@ def dp_spec(ndim: int, axis: int = 0) -> P:
     return P(*spec)
 
 
-def tp_param_spec(path: tuple, value) -> P:
-    """Tensor-parallel rule: shard the output dim of 2-D kernels.
+# Megatron pairing (Shoeybi et al. 2019, the standard TP layout): the first
+# matmul of an attention/MLP pair splits its OUTPUT features, the second
+# splits its INPUT features, so the intermediate activation stays sharded
+# and the only collective is the psum closing the pair.
+_TP_COL = frozenset({"qkv", "fc1", "pwconv1"})
+_TP_ROW = frozenset({"proj", "fc2", "pwconv2"})
 
-    Embedding/positional tables and 1-D params stay replicated; conv kernels
-    stay replicated (vision convs are small relative to ICI cost).
+
+def tp_param_spec(path: tuple, value) -> P:
+    """Tensor-parallel rule: Megatron column/row pairing by layer name.
+
+    - col-shard kernels of {qkv, fc1, pwconv1} → P(None, model); their
+      biases shard to match → P(model);
+    - row-shard kernels of {proj, fc2, pwconv2} → P(model, None) (bias
+      replicated — it adds after the psum);
+    - everything else (embeddings, conv kernels, norms, head) replicated:
+      vision convs/heads are small relative to ICI cost.
     """
     names = [getattr(k, "key", str(k)) for k in path]
     leaf = names[-1] if names else ""
+    parent = names[-2] if len(names) >= 2 else ""
     if leaf == "kernel" and getattr(value, "ndim", 0) == 2:
-        return P(None, MODEL_AXIS)
+        if parent in _TP_COL:
+            return P(None, MODEL_AXIS)
+        if parent in _TP_ROW:
+            return P(MODEL_AXIS, None)
+        return P()
+    if leaf == "bias" and parent in _TP_COL and getattr(value, "ndim", 0) == 1:
+        return P(MODEL_AXIS)
     return P()
 
 

@@ -331,10 +331,14 @@ class Solver:
 
         Calibrates activation scales on the first batches of ``loader`` (the
         eval distribution — corrupted images when evaluating corruptions).
-        Supported families: ResNet (models/quantize.py) and ViT
-        (models/quantize_vit.py); others log a warning and keep the float
-        path. Eval-only: the int8 graph has no useful gradients, so attack
-        solvers must not enable it. Returns True when the swap happened.
+        Supported families: ResNet (models/quantize.py), ViT
+        (models/quantize_vit.py), and MobileNetV2
+        (models/quantize_mobilenet.py); others log a warning and keep the
+        float path. Eval-only: the int8 graph has no useful gradients, so
+        attack solvers must not enable it. Under multi-process eval every
+        rank calibrates on its own data shard, then rank 0's scales are
+        broadcast so all ranks run ONE int8 model (merged results must not
+        mix per-rank calibrations). Returns True when the swap happened.
         """
         mode = self.cfg.get_path("model.quantize")
         if mode in (None, False, "none"):
@@ -353,7 +357,12 @@ class Solver:
         q = self.build_quantized(calib)
         if q is None:
             return False
-        qparams = jax.device_put(q.qparams)
+        qparams = q.qparams
+        if self.world_size > 1:
+            from jax.experimental import multihost_utils
+
+            qparams = multihost_utils.broadcast_one_to_all(qparams)
+        qparams = jax.device_put(qparams)
         jfn = jax.jit(q.apply_fn)
         mesh = self.mesh
         n_data = int(mesh.shape["data"])
@@ -375,6 +384,8 @@ class Solver:
         """int8-PTQ the classifier on ``calib_images_u8`` (uint8 NHWC from
         the eval distribution). Returns the quantized classifier, or None
         for unsupported families (with a warning)."""
+        from robustart_tpu.models.densenet import DenseNet
+        from robustart_tpu.models.efficientnet import EfficientNet
         from robustart_tpu.models.mobilenet import MobileNetV2
         from robustart_tpu.models.resnet import ResNet
         from robustart_tpu.models.vit import VisionTransformer
@@ -398,7 +409,35 @@ class Solver:
                 quantize_mobilenet_v2,
             )
 
+            batch = int(self.cfg.get_path("data.batch_size") or 0)
+            if batch and batch < 512:
+                # measured: int8 MobileNetV2 only beats bf16 from ~batch
+                # 512 up (benchmarks/RESULTS.md — the depthwise convs are
+                # VPU-bound, the int8 epilogues need amortizing)
+                logger.warning(
+                    "int8 MobileNetV2 at batch %d is typically SLOWER than "
+                    "bf16 (crossover ~512, benchmarks/RESULTS.md); "
+                    "proceeding — drop model.quantize or raise batch_size "
+                    "for throughput",
+                    batch,
+                )
             return quantize_mobilenet_v2(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        if isinstance(module, EfficientNet):
+            from robustart_tpu.models.quantize_efficientnet import (
+                quantize_efficientnet,
+            )
+
+            return quantize_efficientnet(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        if isinstance(module, DenseNet):
+            from robustart_tpu.models.quantize_densenet import (
+                quantize_densenet,
+            )
+
+            return quantize_densenet(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
         logger.warning(

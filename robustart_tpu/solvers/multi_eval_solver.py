@@ -212,12 +212,15 @@ class MultiEvalSolver(Solver):
 
         step_params = self._online_qparams if qclf is not None else variables
         if (
-            self.cfg.get_path("model.quantize") == "int8"
+            corrupt_fn is None
+            and self.cfg.get_path("model.quantize") == "int8"
             and not getattr(self, "_quantize_checked", False)
         ):
-            # jpeg_compression (host-side codec) goes through the generic
-            # uint8 eval forward — swap it ONCE (re-calibrating per
-            # corruption×severity would re-compile every cell)
+            # jpeg_compression (host-side codec, corrupt_fn None) goes
+            # through the generic uint8 eval forward — swap it ONCE, and
+            # only when such a cell is actually reached (on-device
+            # corruptions use _online_quantized; a second clean-calibrated
+            # model here would be duplicate calibration + compile)
             self._quantize_checked = True
             self.maybe_quantize(loader)
         eval_fn = self.eval_fn()

@@ -37,7 +37,9 @@ def test_swin_forward_parity():
         num_classes=10, drop_path=0.0,
     )
     clf = init_classifier("swin_mini", module, rng=0, input_size=112)
-    variables, missing = convert_state_dict(sd, clf.variables, "SwinTransformer")
+    variables, missing = convert_state_dict(
+        sd, clf.variables, "SwinTransformer", head_dim=24 // 3
+    )
     assert missing == [], missing[:8]
     clf.variables = variables
 
@@ -72,7 +74,7 @@ def test_clip_visual_forward_parity():
     )
     clf = init_classifier("clip_mini", module, rng=0, input_size=56)
     variables, missing = convert_state_dict(
-        sd, clf.variables, "CLIPVisionClassifier"
+        sd, clf.variables, "CLIPVisionClassifier", head_dim=64 // 4
     )
     # only the framework-side zero-shot head has no torch counterpart
     assert sorted(m.split(" <- ")[0] for m in missing) == [

@@ -92,6 +92,82 @@ def test_window_attention_gradients_match():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_window_attention_bias_and_mask_gradients_match():
+    """Parameter gradients through the fused forward are exact: rel_bias
+    (and mask) cotangents match the einsum path — eval-mode fine-tuning or
+    bias-table probing must not silently freeze the table (ADVICE r2)."""
+    q, k, v, rel_bias, mask = _data(bnw=4, h=2, seed=4)
+
+    def loss_pallas(rel_bias, mask):
+        out = window_mha_pallas(
+            q, k, v, rel_bias, mask, num_windows=4, interpret=True
+        )
+        return jnp.sum(out * out)
+
+    def loss_ref(rel_bias, mask):
+        out = _reference(q, k, v, rel_bias, mask, 4)
+        return jnp.sum(out * out)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(rel_bias, mask)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(rel_bias, mask)
+    assert float(jnp.abs(gr[0]).max()) > 1e-3  # non-trivial gradient
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_swin_module_bias_table_param_grad_nonzero():
+    """jax.grad w.r.t. params through the Pallas deterministic forward
+    produces a live relative_position_bias_table gradient equal to the
+    einsum path's."""
+    from robustart_tpu.models.swin import SwinTransformer
+    from robustart_tpu.models.classifier import init_classifier
+    import robustart_tpu.ops.pallas_attention as pa
+
+    module = SwinTransformer(
+        embed_dim=24, depths=(2,), num_heads=(3,), window_size=7,
+        num_classes=10, drop_path=0.0,
+    )
+    clf = init_classifier("swin_mini", module, rng=0, input_size=56)
+    rng = np.random.default_rng(0)
+    xn = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
+
+    def loss(params, impl):
+        out = module.clone(attention_impl=impl).apply(
+            {"params": params}, xn, train=False
+        )
+        return jnp.sum(out * out)
+
+    orig = pa.window_mha_pallas
+
+    def interp(q, k, v, rel_bias, mask=None, *, num_windows=1,
+               interpret=False):
+        return orig(q, k, v, rel_bias, mask, num_windows=num_windows,
+                    interpret=True)
+
+    pa.window_mha_pallas = interp
+    try:
+        g_pallas = jax.grad(loss)(clf.variables["params"], "pallas")
+    finally:
+        pa.window_mha_pallas = orig
+    g_ref = jax.grad(loss)(clf.variables["params"], "xla")
+
+    flat_p = jax.tree_util.tree_leaves_with_path(g_pallas)
+    flat_r = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_ref)}
+    checked = 0
+    for key, gp_leaf in flat_p:
+        ks = jax.tree_util.keystr(key)
+        if "relative_position_bias_table" in ks:
+            assert float(jnp.abs(gp_leaf).max()) > 0.0
+            np.testing.assert_allclose(
+                np.asarray(gp_leaf), np.asarray(flat_r[ks]),
+                rtol=2e-3, atol=2e-3,
+            )
+            checked += 1
+    assert checked == 2  # both blocks' tables
+
+
 def test_swin_module_pallas_impl_matches_xla():
     """Module-level equivalence via the interpreter (small swin, both shift
     and no-shift blocks)."""
