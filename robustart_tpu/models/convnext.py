@@ -19,6 +19,7 @@ from robustart_tpu.ops.pallas_convnext import (
     dwconv_ln_pallas,
     dwconv_ln_reference,
 )
+from robustart_tpu.ops.pallas_mlp import mlp_pallas
 
 
 class _DWConv7Params(nn.Module):
@@ -49,6 +50,22 @@ class _LNParams(nn.Module):
         return scale, bias
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder matching ``nn.Dense``'s tree (kernel + bias)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.out_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias
+
+
 class GRN(nn.Module):
     """Global Response Normalization (ConvNeXtV2)."""
 
@@ -76,6 +93,9 @@ class ConvNeXtBlock(nn.Module):
     # WORKLOG r3): its shifted-window reads pay sublane rotations XLA's
     # codegen avoids. Kept as an opt-in for future chip generations.
     block_impl: str = "auto"
+    # 'auto': fused MLP Pallas kernel on TPU (ops/pallas_mlp.py — the 4C
+    # intermediate stays in VMEM; layer-scale + residual in the epilogue)
+    mlp_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,17 +110,41 @@ class ConvNeXtBlock(nn.Module):
             x = dwconv_ln_pallas(x, dw_kernel, dw_bias, ln_scale, ln_bias)
         else:
             x = dwconv_ln_reference(x, dw_kernel, dw_bias, ln_scale, ln_bias)
-        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.gelu(x, approximate=False)
-        if self.use_grn:
-            x = GRN(4 * self.dim, name="grn")(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
-        if self.layer_scale_init > 0:
-            gamma = self.param(
+        w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="pwconv1")()
+        w2, b2 = _DenseParams(4 * self.dim, self.dim, name="pwconv2")()
+        gamma = (
+            self.param(
                 "gamma",
                 nn.initializers.constant(self.layer_scale_init),
                 (self.dim,),
             )
+            if self.layer_scale_init > 0
+            else None
+        )
+        mlp_impl = self.mlp_impl
+        if mlp_impl == "auto":
+            mlp_impl = (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
+        can_fuse_residual = deterministic or self.drop_path == 0.0
+        if mlp_impl == "pallas" and not self.use_grn and can_fuse_residual:
+            # fused MLP: the (·, 4C) intermediate never leaves VMEM, and
+            # layer-scale + residual ride the epilogue (DropPath at eval is
+            # the identity, so fusing the add is exact)
+            return mlp_pallas(
+                x, w1.astype(self.dtype), b1, w2.astype(self.dtype), b2,
+                gamma=gamma, shortcut=shortcut, act="gelu",
+            )
+        x = jnp.dot(x.astype(self.dtype), w1.astype(self.dtype)) + b1.astype(
+            self.dtype
+        )
+        x = nn.gelu(x, approximate=False)
+        if self.use_grn:
+            x = GRN(4 * self.dim, name="grn")(x)
+        x = jnp.dot(x.astype(self.dtype), w2.astype(self.dtype)) + b2.astype(
+            self.dtype
+        )
+        if gamma is not None:
             x = x * gamma
         return shortcut + DropPath(self.drop_path)(x, deterministic=deterministic)
 
@@ -112,6 +156,7 @@ class ConvNeXt(nn.Module):
     drop_path: float = 0.0
     use_grn: bool = False  # True = ConvNeXtV2
     block_impl: str = "auto"
+    mlp_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -141,6 +186,7 @@ class ConvNeXt(nn.Module):
                     layer_scale_init=0.0 if self.use_grn else 1e-6,
                     use_grn=self.use_grn,
                     block_impl=self.block_impl,
+                    mlp_impl=self.mlp_impl,
                     dtype=self.dtype,
                     name=f"stage{si}_block{di}",
                 )(x, deterministic=deterministic)

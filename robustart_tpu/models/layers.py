@@ -128,3 +128,22 @@ def hardswish(x: jax.Array) -> jax.Array:
 
 def hardsigmoid(x: jax.Array) -> jax.Array:
     return jax.nn.relu6(x + 3.0) / 6.0
+
+
+class DenseParams(nn.Module):
+    """Parameter holder matching ``nn.Dense``'s tree (kernel + bias) so a
+    module can route the SAME parameters through either a plain jnp.dot
+    path or the fused MLP Pallas kernel (ops/pallas_mlp.py) without
+    changing the checkpoint structure."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.out_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias

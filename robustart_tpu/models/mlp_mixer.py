@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from robustart_tpu.models.layers import DropPath
+from robustart_tpu.models.layers import DenseParams, DropPath
 
 
 class MixerMlp(nn.Module):
@@ -24,9 +24,24 @@ class MixerMlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         out_dim = x.shape[-1]
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        w1, b1 = DenseParams(out_dim, self.hidden_dim, name="fc1")()
+        w2, b2 = DenseParams(self.hidden_dim, out_dim, name="fc2")()
+        if jax.default_backend() == "tpu":
+            # fused MLP (ops/pallas_mlp.py): the hidden intermediate stays
+            # in VMEM (both token- and channel-mixing MLPs)
+            from robustart_tpu.ops.pallas_mlp import mlp_pallas
+
+            return mlp_pallas(
+                x.astype(self.dtype), w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, act="gelu",
+            )
+        x = jnp.dot(x.astype(self.dtype), w1.astype(self.dtype)) + b1.astype(
+            self.dtype
+        )
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        x = jnp.dot(x.astype(self.dtype), w2.astype(self.dtype)) + b2.astype(
+            self.dtype
+        )
         return x
 
 

@@ -19,21 +19,40 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from robustart_tpu.models.layers import DropPath
+from robustart_tpu.models.layers import DenseParams, DropPath
 
 
 class MlpBlock(nn.Module):
     hidden_dim: int
     dropout: float = 0.0
+    # 'auto': fused MLP Pallas kernel on TPU for dropout-free forwards
+    # (ops/pallas_mlp.py — the (·, hidden) intermediate stays in VMEM)
+    mlp_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         out_dim = x.shape[-1]
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        w1, b1 = DenseParams(out_dim, self.hidden_dim, name="fc1")()
+        w2, b2 = DenseParams(self.hidden_dim, out_dim, name="fc2")()
+        impl = self.mlp_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas" and (deterministic or self.dropout == 0.0):
+            from robustart_tpu.ops.pallas_mlp import mlp_pallas
+
+            return mlp_pallas(
+                x.astype(self.dtype), w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, act="gelu",
+            )
+        x = jnp.dot(x.astype(self.dtype), w1.astype(self.dtype)) + b1.astype(
+            self.dtype
+        )
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        x = jnp.dot(x.astype(self.dtype), w2.astype(self.dtype)) + b2.astype(
+            self.dtype
+        )
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 

@@ -14,7 +14,10 @@ from __future__ import annotations
 import argparse
 import json
 import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -129,8 +132,22 @@ def main(argv=None):
         rows.append(row)
 
     dev = jax.devices()[0]
+    # merge into existing results so a partial --models run updates rows
+    # instead of clobbering the full table
+    res_path = osp.join(args.out, "results.json")
+    merged: dict[str, dict] = {}
+    if osp.exists(res_path):
+        try:
+            with open(res_path) as f:
+                for r in json.load(f).get("rows", []):
+                    merged[r["model"]] = r
+        except (json.JSONDecodeError, KeyError):
+            pass
+    for r in rows:
+        merged[r["model"]] = r
+    rows = list(merged.values())
     payload = {"device": str(dev), "batch": args.batch, "rows": rows}
-    with open(osp.join(args.out, "results.json"), "w") as f:
+    with open(res_path, "w") as f:
         json.dump(payload, f, indent=2)
 
     lines = [
@@ -158,9 +175,16 @@ def main(argv=None):
                     ),
                 )
             )
-    with open(osp.join(args.out, "RESULTS.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {args.out}/RESULTS.md")
+    md_path = osp.join(args.out, "RESULTS.md")
+    notes = ""
+    if osp.exists(md_path):
+        with open(md_path) as f:
+            old = f.read()
+        if "\nNotes:" in old:  # hand-written notes survive regeneration
+            notes = "\nNotes:" + old.split("\nNotes:", 1)[1]
+    with open(md_path, "w") as f:
+        f.write("\n".join(lines) + "\n" + notes)
+    print(f"wrote {md_path}")
 
 
 if __name__ == "__main__":

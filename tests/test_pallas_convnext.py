@@ -91,6 +91,33 @@ def test_convnext_module_pallas_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_convnext_module_fused_mlp_matches_xla():
+    """Fused-MLP path (mlp_impl pallas, interpreted) == xla path, incl.
+    layer-scale + residual epilogue."""
+    import robustart_tpu.models.convnext as cm
+
+    module = cm.ConvNeXt(depths=(1, 1), dims=(32, 64), num_classes=10)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32)
+    variables = module.init(jax.random.key(0), x, train=False)
+
+    ref = module.clone(mlp_impl="xla").apply(variables, x, train=False)
+    orig = cm.mlp_pallas
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    cm.mlp_pallas = interp
+    try:
+        got = module.clone(mlp_impl="pallas").apply(variables, x,
+                                                    train=False)
+    finally:
+        cm.mlp_pallas = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_param_tree_unchanged():
     """The fused-path refactor must not change the checkpoint tree: dwconv
     kernel (7,7,1,C)+bias and norm scale/bias survive under the same names

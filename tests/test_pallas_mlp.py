@@ -1,0 +1,97 @@
+"""Fused MLP Pallas kernel vs the XLA reference: forward (acts, gamma,
+shortcut, F-chunking, row padding) and gradients. CPU via the
+TPU-semantics interpreter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustart_tpu.ops.pallas_mlp import mlp_pallas, mlp_reference
+
+
+def _data(m=64, c=128, f=512, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((m, c)), dtype)
+    w1 = jnp.asarray(rng.standard_normal((c, f)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(f) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("act", ["gelu", "gelu_tanh", "quick_gelu", "relu"])
+def test_forward_matches_reference(act):
+    x, w1, b1, w2, b2 = _data()
+    ref = mlp_reference(x, w1, b1, w2, b2, act=act)
+    got = mlp_pallas(x, w1, b1, w2, b2, act=act, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gamma_and_shortcut_epilogue():
+    x, w1, b1, w2, b2 = _data(seed=1)
+    rng = np.random.default_rng(2)
+    gamma = jnp.asarray(rng.standard_normal(x.shape[1]) * 0.1, jnp.float32)
+    short = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    ref = mlp_reference(x, w1, b1, w2, b2, gamma, short)
+    got = mlp_pallas(x, w1, b1, w2, b2, gamma, short, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_row_padding_and_3d_input():
+    """M not divisible by the tile and leading batch dims."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 37, 128)), jnp.float32)
+    _, w1, b1, w2, b2 = _data(seed=3)
+    ref = mlp_reference(x.reshape(-1, 128), w1, b1, w2, b2).reshape(x.shape)
+    got = mlp_pallas(x, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_f_chunking_path():
+    """F large enough to force >1 chunk (accumulation over grid dim)."""
+    # force chunking by exceeding the 8 MB resident-pair budget:
+    # 2*c*f*4B > 8MB with c=512, f=4096 → 16 MB → tf=2048, nf=2
+    x, w1, b1, w2, b2 = _data(m=32, c=512, f=4096, seed=4)
+    ref = mlp_reference(x, w1, b1, w2, b2)
+    got = mlp_pallas(x, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_gradients_match_reference():
+    x, w1, b1, w2, b2 = _data(m=32, seed=5)
+    rng = np.random.default_rng(5)
+    gamma = jnp.asarray(1 + rng.standard_normal(x.shape[1]) * 0.1, jnp.float32)
+    short = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+
+    def loss(fn, *args):
+        out = fn(*args)
+        return jnp.sum(out * jnp.sin(out))
+
+    gp = jax.grad(
+        lambda *a: loss(
+            lambda *z: mlp_pallas(*z, interpret=True), *a
+        ),
+        argnums=tuple(range(7)),
+    )(x, w1, b1, w2, b2, gamma, short)
+    gr = jax.grad(
+        lambda *a: loss(mlp_reference, *a), argnums=tuple(range(7))
+    )(x, w1, b1, w2, b2, gamma, short)
+    for a, r in zip(gp, gr):
+        assert float(jnp.abs(r).max()) > 0.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_bf16():
+    x, w1, b1, w2, b2 = _data(seed=6, dtype=jnp.bfloat16)
+    ref = mlp_reference(x, w1, b1, w2, b2)
+    got = mlp_pallas(x, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )

@@ -77,10 +77,18 @@ def test_shard_train_state():
     mesh = get_mesh(("data", "model"), mesh_shape=(4, 2))
     state = {
         "step": jnp.zeros((), jnp.int32),
-        "params": {"dense": {"kernel": jnp.zeros((16, 32))}},
+        "params": {
+            "fc1": {"kernel": jnp.zeros((16, 32))},
+            "proj": {"kernel": jnp.zeros((32, 16))},
+            "head": {"kernel": jnp.zeros((16, 8))},
+        },
     }
     sharded = shard_train_state(state, mesh)
-    assert sharded["params"]["dense"]["kernel"].sharding.spec == P(None, "model")
+    # Megatron pairing: col-shard the first matmul of a pair, row-shard the
+    # second, replicate everything else (parallel/sharding.py)
+    assert sharded["params"]["fc1"]["kernel"].sharding.spec == P(None, "model")
+    assert sharded["params"]["proj"]["kernel"].sharding.spec == P("model", None)
+    assert sharded["params"]["head"]["kernel"].sharding.spec == P()
 
 
 def test_phase_timer_and_annotation():
