@@ -387,6 +387,7 @@ class Solver:
         from robustart_tpu.models.densenet import DenseNet
         from robustart_tpu.models.efficientnet import EfficientNet
         from robustart_tpu.models.mobilenet import MobileNetV2
+        from robustart_tpu.models.regnet import RegNetX
         from robustart_tpu.models.resnet import ResNet
         from robustart_tpu.models.vit import VisionTransformer
 
@@ -438,6 +439,12 @@ class Solver:
             )
 
             return quantize_densenet(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        if isinstance(module, RegNetX):
+            from robustart_tpu.models.quantize_regnet import quantize_regnet
+
+            return quantize_regnet(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
         logger.warning(
