@@ -143,6 +143,33 @@ def select_eval_variables(ckpt: dict, use_ema: bool | None = None) -> Any:
     return out
 
 
+TORCH_CKPT_EXTS = (".pth", ".pth.tar", ".pt", ".bin")
+
+
+def load_eval_variables(path: str, classifier, use_ema: bool | None = None):
+    """Load eval weights from OUR msgpack layout or a FOREIGN torch
+    checkpoint, mirroring the reference's own resume tolerance — dicts keyed
+    ``state_dict``/``model``/``net`` or a raw state dict, with optional
+    ``module.`` prefixes (reference cifar10/code/test_cifar_c.py:169-187).
+
+    Torch extensions dispatch to the conversion layer; a msgpack payload
+    missing the ``{variables, extra}`` wrapper (i.e. a bare variables dict
+    with a ``params`` key) is accepted as raw weights.
+    """
+    if path.endswith(TORCH_CKPT_EXTS):
+        from robustart_tpu.models.torch_convert import load_torch_checkpoint
+
+        logger.info("loading foreign torch checkpoint %s", path)
+        return load_torch_checkpoint(path, classifier)
+    ckpt = load_checkpoint(path)
+    if "variables" not in ckpt and "params" in ckpt:
+        logger.info("raw-variables checkpoint layout detected (%s)", path)
+        return ckpt if use_ema is not True else select_eval_variables(
+            {"variables": ckpt}, use_ema
+        )
+    return select_eval_variables(ckpt, use_ema)
+
+
 def load_pretrain_into(classifier, saver_cfg, use_ema: bool | None = None) -> None:
     """Load ``saver.pretrain.path`` (flax msgpack or torch .pth) in place."""
     pretrain = (saver_cfg or {}).get("pretrain") or {}
@@ -150,12 +177,7 @@ def load_pretrain_into(classifier, saver_cfg, use_ema: bool | None = None) -> No
     if not path:
         return
     ignore = pretrain.get("ignore") or {}
-    if path.endswith((".pth", ".pth.tar", ".pt", ".bin")):
-        from robustart_tpu.models.torch_convert import load_torch_checkpoint
-
-        ckpt_vars = load_torch_checkpoint(path, classifier)
-    else:
-        ckpt_vars = select_eval_variables(load_checkpoint(path), use_ema)
+    ckpt_vars = load_eval_variables(path, classifier, use_ema)
     classifier.variables = apply_pretrain(
         classifier.variables,
         ckpt_vars,

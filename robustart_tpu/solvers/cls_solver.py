@@ -34,11 +34,12 @@ from robustart_tpu.core.logging import get_logger
 from robustart_tpu.data import build_dataloader
 from robustart_tpu.metrics import ImageNetCEvaluator, ImageNetEvaluator
 from robustart_tpu.solvers.base import (
+    TORCH_CKPT_EXTS,
     ResultWriter,
     Solver,
     load_checkpoint,
+    load_eval_variables,
     save_checkpoint,
-    select_eval_variables,
     standard_solver_argparser,
 )
 from robustart_tpu.solvers.optim import (
@@ -108,10 +109,33 @@ class ClsSolver(Solver):
         if recover:
             from flax import serialization
 
-            ckpt = load_checkpoint(recover)
-            state = serialization.from_state_dict(state, ckpt["extra"]["state"])
-            start_epoch = int(ckpt["extra"].get("epoch", 0))
-            logger.info("recovered from %s at epoch %d", recover, start_epoch)
+            if recover.endswith(TORCH_CKPT_EXTS):
+                # foreign torch checkpoint: warm-start the weights (layout
+                # tolerance {state_dict|model|net|raw} + module. strip,
+                # reference cifar10/code/test_cifar_c.py:169-187); optimizer
+                # state and epoch restart fresh
+                ckpt_vars = load_eval_variables(recover, clf)
+                state = state.replace(
+                    params=ckpt_vars["params"],
+                    batch_stats=ckpt_vars.get("batch_stats", state.batch_stats),
+                    ema_params=(
+                        jax.tree.map(jnp.copy, ckpt_vars["params"])
+                        if ema_enabled else {}
+                    ),
+                )
+                logger.info(
+                    "recovered weights from torch checkpoint %s "
+                    "(fresh optimizer state)", recover,
+                )
+            else:
+                ckpt = load_checkpoint(recover)
+                state = serialization.from_state_dict(
+                    state, ckpt["extra"]["state"]
+                )
+                start_epoch = int(ckpt["extra"].get("epoch", 0))
+                logger.info(
+                    "recovered from %s at epoch %d", recover, start_epoch
+                )
 
         module = clf.module
         mean, std = clf.mean, clf.std
@@ -377,11 +401,15 @@ class ClsSolver(Solver):
         if ckpt_path:
             if osp.isdir(ckpt_path):
                 cands = sorted(
-                    f for f in os.listdir(ckpt_path) if f.endswith(".msgpack")
+                    f for f in os.listdir(ckpt_path)
+                    if f.endswith((".msgpack",) + TORCH_CKPT_EXTS)
                 )
                 ckpt_path = osp.join(ckpt_path, cands[-1])
-            self.classifier.variables = select_eval_variables(
-                load_checkpoint(ckpt_path), use_ema
+            # tolerant of foreign torch layouts ({state_dict|model|net|raw}
+            # + module. strip) like the reference's own resume path
+            # (reference cifar10/code/test_cifar_c.py:169-187)
+            self.classifier.variables = load_eval_variables(
+                ckpt_path, self.classifier, use_ema
             )
         elif use_ema is not False and getattr(self, "_ema_params_host", None):
             # post-train eval on an EMA-trained run defaults to the EMA copy

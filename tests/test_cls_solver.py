@@ -231,3 +231,36 @@ def test_model_dtype_config_bf16(tmp_path):
     metrics = solver.evaluate()
     assert "top1" in metrics
     assert solver.classifier.module.dtype == jnp.bfloat16
+
+
+def test_foreign_torch_checkpoint_eval_and_recover(tmp_path):
+    """``--ckpt-filePath``/``--recover`` accept foreign torch checkpoints with
+    the reference's own layout tolerance — {state_dict|model|net|raw} keys +
+    ``module.`` prefixes (reference cifar10/code/test_cifar_c.py:169-187)."""
+    import torch
+
+    from tests.test_torch_convert import TorchResNet18
+
+    torch.manual_seed(0)
+    net = TorchResNet18(num_classes=10).eval()
+    sd = {"module." + k: v for k, v in net.state_dict().items()}
+    ckpt = tmp_path / "foreign.pth.tar"
+    torch.save({"model": sd}, ckpt)
+
+    # evaluate straight off the torch checkpoint
+    cfg = _cfg(tmp_path)
+    solver = ClsSolver(cfg, evaluate_only=True)
+    metrics = solver.evaluate(ckpt_path=str(ckpt))
+    assert set(metrics) == {"top1", "top5"}
+    got = solver.classifier.variables["params"]["fc"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(got), net.state_dict()["fc.weight"].numpy().T, atol=1e-6
+    )
+
+    # --recover warm-starts training from the torch weights
+    cfg2 = _cfg(tmp_path)
+    cfg2.lr_scheduler.kwargs.max_epoch = 1
+    cfg2.saver.save_dir = str(tmp_path / "ck2")
+    s2 = ClsSolver(cfg2)
+    s2.train(recover=str(ckpt))
+    assert int(s2._train_state.step) == 4  # fresh epoch count, trained
