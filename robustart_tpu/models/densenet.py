@@ -45,9 +45,10 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        """Returns only the ``growth_rate`` NEW channels; the caller decides
+        how to accumulate them (concat vs in-place buffer write)."""
         out = _BNReLUConv(self.bn_size * self.growth_rate, 1, dtype=self.dtype)(x, train)
-        out = _BNReLUConv(self.growth_rate, 3, dtype=self.dtype)(out, train)
-        return jnp.concatenate([x, out], axis=-1)
+        return _BNReLUConv(self.growth_rate, 3, dtype=self.dtype)(out, train)
 
 
 class DenseNet(nn.Module):
@@ -56,6 +57,11 @@ class DenseNet(nn.Module):
     num_init_features: int = 64
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    # 'concat': rebuild the concatenated tensor every layer (torch-style).
+    # 'buffer': preallocate each dense block's final channel extent once and
+    # dynamic-update-slice each layer's growth_rate channels in place —
+    # avoids rewriting the O(layers²·growth) concatenation chain through HBM.
+    concat_impl: str = "buffer"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -70,12 +76,29 @@ class DenseNet(nn.Module):
         )(x)
         x = nn.relu(x)
         x = MaxPool2d()(x)
+        g = self.growth_rate
         for bi, n_layers in enumerate(self.block_config):
-            for li in range(n_layers):
-                x = DenseLayer(
-                    self.growth_rate, dtype=self.dtype,
-                    name=f"denseblock{bi + 1}_layer{li + 1}",
-                )(x, train)
+            if self.concat_impl == "buffer":
+                c0 = x.shape[-1]
+                buf = jnp.zeros(
+                    x.shape[:-1] + (c0 + n_layers * g,), x.dtype
+                )
+                buf = buf.at[..., :c0].set(x)
+                for li in range(n_layers):
+                    c = c0 + li * g
+                    out = DenseLayer(
+                        g, dtype=self.dtype,
+                        name=f"denseblock{bi + 1}_layer{li + 1}",
+                    )(buf[..., :c], train)
+                    buf = buf.at[..., c:c + g].set(out)
+                x = buf
+            else:
+                for li in range(n_layers):
+                    out = DenseLayer(
+                        g, dtype=self.dtype,
+                        name=f"denseblock{bi + 1}_layer{li + 1}",
+                    )(x, train)
+                    x = jnp.concatenate([x, out], axis=-1)
             if bi != len(self.block_config) - 1:
                 x = _BNReLUConv(
                     x.shape[-1] // 2, 1, dtype=self.dtype,

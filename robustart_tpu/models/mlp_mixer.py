@@ -20,29 +20,53 @@ from robustart_tpu.models.layers import DenseParams, DropPath
 class MixerMlp(nn.Module):
     hidden_dim: int
     dtype: Any = jnp.float32
+    mix_axis: int = -1  # 1 = token axis of (B, T, C), transpose-free on TPU
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        out_dim = x.shape[-1]
-        w1, b1 = DenseParams(out_dim, self.hidden_dim, name="fc1")()
-        w2, b2 = DenseParams(self.hidden_dim, out_dim, name="fc2")()
-        if jax.default_backend() == "tpu":
+    def __call__(self, x: jax.Array,
+                 shortcut: jax.Array | None = None) -> jax.Array:
+        dim = x.shape[self.mix_axis]
+        w1, b1 = DenseParams(dim, self.hidden_dim, name="fc1")()
+        w2, b2 = DenseParams(self.hidden_dim, dim, name="fc2")()
+        on_tpu = jax.default_backend() == "tpu"
+        if self.mix_axis == 1:
+            if on_tpu:
+                # token mixing with the token-axis contraction done in VMEM
+                # (ops/pallas_mlp.py::token_mlp_pallas): neither the
+                # (B, C, T) transpose nor the hidden intermediate touches
+                # HBM; the residual rides the epilogue
+                from robustart_tpu.ops.pallas_mlp import token_mlp_pallas
+
+                return token_mlp_pallas(
+                    x.astype(self.dtype), w1.astype(self.dtype), b1,
+                    w2.astype(self.dtype), b2, shortcut=shortcut, act="gelu",
+                )
+            x = jnp.swapaxes(x, 1, 2)
+        if on_tpu:
             # fused MLP (ops/pallas_mlp.py): the hidden intermediate stays
-            # in VMEM (both token- and channel-mixing MLPs)
+            # in VMEM
             from robustart_tpu.ops.pallas_mlp import mlp_pallas
 
-            return mlp_pallas(
+            out = mlp_pallas(
                 x.astype(self.dtype), w1.astype(self.dtype), b1,
-                w2.astype(self.dtype), b2, act="gelu",
+                w2.astype(self.dtype), b2,
+                shortcut=shortcut if self.mix_axis != 1 else None,
+                act="gelu",
             )
-        x = jnp.dot(x.astype(self.dtype), w1.astype(self.dtype)) + b1.astype(
-            self.dtype
-        )
-        x = nn.gelu(x, approximate=False)
-        x = jnp.dot(x.astype(self.dtype), w2.astype(self.dtype)) + b2.astype(
-            self.dtype
-        )
-        return x
+            if self.mix_axis != 1:
+                return out
+        else:
+            out = jnp.dot(x.astype(self.dtype), w1.astype(self.dtype)) + (
+                b1.astype(self.dtype)
+            )
+            out = nn.gelu(out, approximate=False)
+            out = jnp.dot(out.astype(self.dtype), w2.astype(self.dtype)) + (
+                b2.astype(self.dtype)
+            )
+            if self.mix_axis != 1:
+                return out if shortcut is None else out + shortcut
+        out = jnp.swapaxes(out, 1, 2)
+        return out if shortcut is None else out + shortcut
 
 
 class MixerBlock(nn.Module):
@@ -54,13 +78,22 @@ class MixerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = jnp.swapaxes(y, 1, 2)
-        y = MixerMlp(self.tokens_mlp_dim, dtype=self.dtype, name="mlp_tokens")(y)
-        y = jnp.swapaxes(y, 1, 2)
-        x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
+        tok = MixerMlp(self.tokens_mlp_dim, dtype=self.dtype, mix_axis=1,
+                       name="mlp_tokens")
+        if deterministic:
+            # DropPath at eval is the identity — fuse the residual into the
+            # kernel epilogue
+            x = tok(y, shortcut=x)
+        else:
+            x = x + DropPath(self.drop_path)(tok(y),
+                                             deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = MixerMlp(self.channels_mlp_dim, dtype=self.dtype, name="mlp_channels")(y)
-        return x + DropPath(self.drop_path)(y, deterministic=deterministic)
+        ch = MixerMlp(self.channels_mlp_dim, dtype=self.dtype,
+                      name="mlp_channels")
+        if deterministic:
+            return ch(y, shortcut=x)
+        return x + DropPath(self.drop_path)(ch(y),
+                                            deterministic=deterministic)
 
 
 class MlpMixer(nn.Module):

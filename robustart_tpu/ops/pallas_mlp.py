@@ -225,3 +225,153 @@ def mlp_pallas(x, w1, b1, w2, b2, gamma=None, shortcut=None,
     s2 = None if shortcut is None else shortcut.reshape(-1, c)
     out = _mlp(x2, w1, b1, w2, b2, gamma, s2, act, interpret)
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# token-mixing MLP (MLP-Mixer): MLP along the TOKEN axis of (B, T, C)
+# without materializing the (B, C, T) transpose in HBM
+# ---------------------------------------------------------------------------
+
+
+def token_mlp_reference(x, w1, b1, w2, b2, shortcut=None, act: str = "gelu"):
+    """XLA reference for the token-mixing MLP.
+
+    Semantically ``swapaxes(mlp(swapaxes(x, 1, 2)), 1, 2)`` for x (B, T, C),
+    w1 (T, H), w2 (H, T) — written as token-axis contractions so no
+    transpose is materialized. Matmuls accumulate in f32.
+    """
+    f = _act_fn(act)
+    h = jax.lax.dot_general(
+        x, w1.astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),  # (B, C, H)
+        preferred_element_type=jnp.float32,
+    ) + b1.astype(jnp.float32)
+    h = f(h).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2.astype(x.dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),  # (B, C, T)
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.swapaxes(y, 1, 2) + b2.astype(jnp.float32)[None, :, None]
+    if shortcut is not None:
+        y = y + shortcut.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _token_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref, o_ref, *,
+                      act: str, has_shortcut: bool):
+    x_t = x_ref[0]  # (T, Cc)
+    # Contract over T on the LHS dim 0 — Mosaic folds the layout swap into
+    # the MXU pass, so the (C, T) view never exists in HBM.
+    h = jax.lax.dot_general(
+        x_t, w1_ref[:].astype(x_t.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),  # (Cc, H)
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    h = _act_fn(act, in_kernel=True)(h).astype(x_t.dtype)
+    # (H, T) contracted with (Cc, H) over H -> (T, Cc): output lands back in
+    # the (T, C) layout directly
+    y = jax.lax.dot_general(
+        w2_ref[:].astype(x_t.dtype), h,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:].astype(jnp.float32)
+    if has_shortcut:
+        y = y + s_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "has_shortcut", "interpret")
+)
+def _token_mlp_impl(x, w1, b1, w2, b2, shortcut, *, act: str,
+                    has_shortcut: bool, interpret: bool = False):
+    b, t, c = x.shape
+    f = w1.shape[1]
+    tc = min(512, c)
+    while c % tc:
+        tc //= 2
+    s_arg = shortcut if has_shortcut else jnp.zeros((b, 1, tc), x.dtype)
+    s_spec = (
+        pl.BlockSpec((1, t, tc), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM)
+        if has_shortcut
+        else pl.BlockSpec((1, 1, tc), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    )
+
+    return pl.pallas_call(
+        functools.partial(
+            _token_mlp_kernel, act=act, has_shortcut=has_shortcut
+        ),
+        grid=(b, c // tc),
+        in_specs=[
+            pl.BlockSpec((1, t, tc), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, f), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, t), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((1, t, tc), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x, w1, b1.reshape(1, f), w2, b2.reshape(t, 1), s_arg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _token_mlp(x, w1, b1, w2, b2, shortcut, act, interpret):
+    return _token_mlp_impl(
+        x, w1, b1, w2, b2, shortcut, act=act,
+        has_shortcut=shortcut is not None, interpret=interpret,
+    )
+
+
+def _token_mlp_fwd(x, w1, b1, w2, b2, shortcut, act, interpret):
+    out = _token_mlp_impl(
+        x, w1, b1, w2, b2, shortcut, act=act,
+        has_shortcut=shortcut is not None, interpret=interpret,
+    )
+    return out, (x, w1, b1, w2, b2, shortcut)
+
+
+def _token_mlp_bwd(act, interpret, residuals, g):
+    del interpret
+    x, w1, b1, w2, b2, shortcut = residuals
+    has_shortcut = shortcut is not None
+
+    def ref(x, w1, b1, w2, b2, shortcut):
+        return token_mlp_reference(
+            x, w1, b1, w2, b2, shortcut if has_shortcut else None, act=act
+        )
+
+    args = (x, w1, b1, w2, b2,
+            shortcut if has_shortcut else jnp.zeros_like(x))
+    _, vjp = jax.vjp(ref, *args)
+    dx, dw1, db1, dw2, db2, dshort = vjp(g.astype(x.dtype))
+    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype),
+            dshort.astype(shortcut.dtype) if has_shortcut else None)
+
+
+_token_mlp.defvjp(_token_mlp_fwd, _token_mlp_bwd)
+
+
+def token_mlp_pallas(x, w1, b1, w2, b2, shortcut=None, act: str = "gelu",
+                     interpret: bool = False):
+    """Token-mixing MLP for (B, T, C) activations, transpose-free.
+
+    Computes ``swapaxes(act(swapaxes(x) @ W1 + b1) @ W2 + b2)`` — the
+    MLP-Mixer token-mixing step — with the token-axis contraction done
+    inside one VMEM program per (batch, C-chunk): neither the (B, C, T)
+    transpose nor the (B, C, H) intermediate ever touches HBM.
+    ``shortcut`` fuses the residual add. Differentiable (custom VJP).
+    """
+    out = _token_mlp(x, w1, b1, w2, b2, shortcut, act, interpret)
+    return out

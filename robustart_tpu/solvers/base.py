@@ -432,18 +432,7 @@ class Solver:
                 quantize_mobilenet_v2,
             )
 
-            batch = int(self.cfg.get_path("data.batch_size") or 0)
-            if batch and batch < 512:
-                # measured: int8 MobileNetV2 only beats bf16 from ~batch
-                # 512 up (benchmarks/RESULTS.md — the depthwise convs are
-                # VPU-bound, the int8 epilogues need amortizing)
-                logger.warning(
-                    "int8 MobileNetV2 at batch %d is typically SLOWER than "
-                    "bf16 (crossover ~512, benchmarks/RESULTS.md); "
-                    "proceeding — drop model.quantize or raise batch_size "
-                    "for throughput",
-                    batch,
-                )
+            self._warn_int8_pessimization("MobileNetV2")
             return quantize_mobilenet_v2(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
@@ -452,6 +441,7 @@ class Solver:
                 quantize_efficientnet,
             )
 
+            self._warn_int8_pessimization("EfficientNet")
             return quantize_efficientnet(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
@@ -460,12 +450,14 @@ class Solver:
                 quantize_densenet,
             )
 
+            self._warn_int8_pessimization("DenseNet")
             return quantize_densenet(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
         if isinstance(module, RegNetX):
             from robustart_tpu.models.quantize_regnet import quantize_regnet
 
+            self._warn_int8_pessimization("RegNetX")
             return quantize_regnet(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
@@ -474,6 +466,31 @@ class Solver:
             type(module).__name__,
         )
         return None
+
+    # measured on the real chip at 224², benchmarks/RESULTS.md: families
+    # whose int8 path trades throughput for the 4x weight footprint. value =
+    # (crossover batch or None if slower at every measured batch, summary)
+    _INT8_MEASURED_PESSIMIZATIONS = {
+        "MobileNetV2": (512, "VPU-bound depthwise convs; int8 epilogues "
+                             "need >=512 batch to amortize"),
+        "EfficientNet": (None, "~15% slower than bf16 at batch 256 (SE/SiLU "
+                               "f32 epilogues dominate)"),
+        "DenseNet": (None, "~40% slower than bf16 at batch 256 (f32 BN/relu "
+                           "prologues + requant at small channel counts)"),
+        "RegNetX": (None, "~5% slower than bf16 at batch 256"),
+    }
+
+    def _warn_int8_pessimization(self, family: str) -> None:
+        crossover, why = self._INT8_MEASURED_PESSIMIZATIONS[family]
+        batch = int(self.cfg.get_path("data.batch_size") or 0)
+        if crossover is not None and batch >= crossover:
+            return
+        logger.warning(
+            "int8 %s at batch %d measured SLOWER than bf16 on this chip "
+            "(%s; benchmarks/RESULTS.md) — int8 still wins 4x on weight "
+            "footprint; drop model.quantize for throughput",
+            family, batch, why,
+        )
 
     def run_eval_loop(
         self,

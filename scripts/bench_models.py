@@ -35,7 +35,10 @@ DEFAULT_MODELS = [
     "shufflenet_v2_x1_0", "regnetx_3200m", "densenet121",
 ]
 
-INT8_FAMILIES = ("ResNet", "VisionTransformer", "MobileNetV2")
+INT8_FAMILIES = (
+    "ResNet", "VisionTransformer", "MobileNetV2",
+    "EfficientNet", "DenseNet", "RegNetX",
+)
 
 
 def _measure(step_fn, params, x, batch, iters=10, warm=2):
@@ -76,20 +79,28 @@ def bench_model(name: str, batch: int) -> dict:
     if type(module).__name__ in INT8_FAMILIES:
         clf32 = create_classifier(name, rng=0, input_size=224)
         calib = rng.integers(0, 256, (128, 224, 224, 3), np.uint8)
-        if type(module).__name__ == "ResNet":
-            from robustart_tpu.models.quantize import quantize_classifier
-
-            q = quantize_classifier(clf32, calib, calib_batch_size=64)
-        elif type(module).__name__ == "VisionTransformer":
-            from robustart_tpu.models.quantize_vit import quantize_vit
-
-            q = quantize_vit(clf32, calib, calib_batch_size=64)
-        else:
+        fam = type(module).__name__
+        if fam == "ResNet":
+            from robustart_tpu.models.quantize import quantize_classifier as qf
+        elif fam == "VisionTransformer":
+            from robustart_tpu.models.quantize_vit import quantize_vit as qf
+        elif fam == "MobileNetV2":
             from robustart_tpu.models.quantize_mobilenet import (
-                quantize_mobilenet_v2,
+                quantize_mobilenet_v2 as qf,
             )
-
-            q = quantize_mobilenet_v2(clf32, calib, calib_batch_size=64)
+        elif fam == "EfficientNet":
+            from robustart_tpu.models.quantize_efficientnet import (
+                quantize_efficientnet as qf,
+            )
+        elif fam == "DenseNet":
+            from robustart_tpu.models.quantize_densenet import (
+                quantize_densenet as qf,
+            )
+        else:
+            from robustart_tpu.models.quantize_regnet import (
+                quantize_regnet as qf,
+            )
+        q = qf(clf32, calib, calib_batch_size=64)
         qp = jax.device_put(q.qparams)
         x_i8 = jax.device_put(
             (rng.integers(0, 256, (batch, 224, 224, 3)).astype(np.int32) - 128)

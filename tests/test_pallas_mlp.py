@@ -95,3 +95,104 @@ def test_bf16():
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+# ---------------------------------------------------------------------------
+# token-mixing variant (MLP-Mixer): transpose-free token MLP
+# ---------------------------------------------------------------------------
+
+
+def _token_data(b=2, t=196, c=256, h=384, seed=7, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), dtype)
+    w1 = jnp.asarray(rng.standard_normal((t, h)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(h) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((h, t)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(t) * 0.1, jnp.float32)
+    return x, w1, b1, w2, b2
+
+
+def test_token_mlp_reference_equals_swapaxes_oracle():
+    from robustart_tpu.ops.pallas_mlp import token_mlp_reference
+
+    x, w1, b1, w2, b2 = _token_data()
+    y = jnp.swapaxes(x, 1, 2)
+    hid = jax.nn.gelu(y @ w1 + b1, approximate=False)
+    oracle = jnp.swapaxes(hid @ w2 + b2, 1, 2)
+    got = token_mlp_reference(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_token_mlp_forward_and_shortcut():
+    from robustart_tpu.ops.pallas_mlp import (
+        token_mlp_pallas,
+        token_mlp_reference,
+    )
+
+    x, w1, b1, w2, b2 = _token_data(seed=8)
+    short = jnp.asarray(
+        np.random.default_rng(9).standard_normal(x.shape), jnp.float32
+    )
+    ref = token_mlp_reference(x, w1, b1, w2, b2, short)
+    got = token_mlp_pallas(x, w1, b1, w2, b2, shortcut=short, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+    got2 = token_mlp_pallas(x, w1, b1, w2, b2, interpret=True)
+    ref2 = token_mlp_reference(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_token_mlp_gradients():
+    from robustart_tpu.ops.pallas_mlp import (
+        token_mlp_pallas,
+        token_mlp_reference,
+    )
+
+    x, w1, b1, w2, b2 = _token_data(b=1, c=128, seed=10)
+    short = jnp.asarray(
+        np.random.default_rng(11).standard_normal(x.shape), jnp.float32
+    )
+
+    def loss(fn, *args):
+        out = fn(*args)
+        return jnp.sum(out * jnp.sin(out))
+
+    gp = jax.grad(
+        lambda *a: loss(
+            lambda *z: token_mlp_pallas(
+                z[0], z[1], z[2], z[3], z[4], shortcut=z[5], interpret=True
+            ), *a
+        ),
+        argnums=tuple(range(6)),
+    )(x, w1, b1, w2, b2, short)
+    gr = jax.grad(
+        lambda *a: loss(
+            lambda *z: token_mlp_reference(z[0], z[1], z[2], z[3], z[4], z[5]),
+            *a,
+        ),
+        argnums=tuple(range(6)),
+    )(x, w1, b1, w2, b2, short)
+    for a, r in zip(gp, gr):
+        assert float(jnp.abs(r).max()) > 0.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_mixer_block_param_tree_and_forward_unchanged():
+    """The transpose-free wiring keeps the exact param tree and (on CPU)
+    bit-equal forward vs the explicit-swapaxes construction."""
+    from robustart_tpu.models import create_classifier
+
+    clf = create_classifier("mixer_b16_224", rng=0, input_size=224)
+    p = clf.variables["params"]["block0"]
+    assert set(p["mlp_tokens"]) == {"fc1", "fc2"}
+    assert p["mlp_tokens"]["fc1"]["kernel"].shape == (196, 384)
+    assert p["mlp_channels"]["fc1"]["kernel"].shape == (768, 3072)
+
+    x = np.random.default_rng(0).uniform(0, 1, (1, 224, 224, 3)).astype(
+        np.float32
+    )
+    logits = np.asarray(clf(x))
+    assert np.isfinite(logits).all() and logits.shape == (1, 1000)
