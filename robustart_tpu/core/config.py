@@ -139,4 +139,28 @@ def iter_eval_list(cfg: Config) -> Iterator[Config]:
             entry = {"model": {"type": entry}}
         sub = cfg.merged(entry if isinstance(entry, Mapping) else {})
         sub.pop("eval_list", None)
+        _align_input_size(sub)
         yield sub
+
+
+def _align_input_size(sub: Config) -> None:
+    """Feed models with a non-default native resolution (swin_base_384 in
+    the reference swin eval_list) their own input size: override
+    data.input_size and scale test_resize keeping the config's resize/crop
+    ratio. Without this the 384 model gets 224 crops (56 spatial is not
+    divisible by its window 12) and the eval crashes."""
+    try:
+        from robustart_tpu.models.registry import model_meta
+
+        native = int(model_meta(sub.model.type)["input_size"])
+    except Exception:
+        return
+    data = sub.get("data")
+    if data is None:
+        return
+    cur = int(data.get("input_size", 224))
+    if native == cur:
+        return
+    resize = int(data.get("test_resize", round(cur * 256 / 224)))
+    data.input_size = native
+    data.test_resize = max(native, round(resize * native / cur))

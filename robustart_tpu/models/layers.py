@@ -138,6 +138,7 @@ class DenseParams(nn.Module):
 
     in_dim: int
     out_dim: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
@@ -145,5 +146,33 @@ class DenseParams(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (self.in_dim, self.out_dim),
         )
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
         return kernel, bias
+
+
+class LNParams(nn.Module):
+    """Parameter holder matching ``nn.LayerNorm``'s tree (scale + bias) so a
+    module can route the SAME parameters through either a plain LayerNorm
+    or a fused Pallas kernel (ops/pallas_attention.py::window_block_pallas)
+    without changing the checkpoint structure."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+def layer_norm(x, scale, bias, eps=1e-5, dtype=None):
+    """LayerNorm over the last axis with f32 statistics (matches the fused
+    kernels' in-VMEM LN numerics)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype or x.dtype)

@@ -131,7 +131,16 @@ _register_family({"googlenet": googlenet.googlenet})
 _register_family(dict(nas_zoo.NAS_FACTORIES))
 # swin eval-list aliases (reference swin/config.yaml:10)
 _register_family({"swin_base_224": swin.swin_base})
-_register_family({"swin_base_384": swin.swin_base}, input_size=384)
+
+
+def _swin_base_384(**kw):
+    # Swin-B at 384² uses window 12 (upstream swin_base_patch4_window12_384);
+    # 384/4 = 96 spatial is not divisible by the 224-variant's window 7.
+    kw.setdefault("window_size", 12)
+    return swin.swin_base(**kw)
+
+
+_register_family({"swin_base_384": _swin_base_384}, input_size=384)
 
 
 def _mobilenet_v3_named(mode: str, scale: float):

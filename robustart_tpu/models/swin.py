@@ -17,7 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from robustart_tpu.models.layers import DenseParams, DropPath
+from robustart_tpu.models.layers import (
+    DenseParams,
+    DropPath,
+    LNParams,
+    layer_norm,
+)
 
 
 def window_partition(x: jax.Array, ws: int) -> jax.Array:
@@ -71,20 +76,24 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: np.ndarray | None = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 fused_ln: tuple | None = None) -> jax.Array:
         """x: windowed (B·nW, 49, C). A spatial-layout variant (qkv/proj on
         (B, H, W, C) with windows only around the attention core) was
         measured 2× SLOWER on chip (477 vs 982 img/s, WORKLOG r3): the
         3C-wide window partition costs far more than the 49→56 sublane
-        padding it saves the matmuls. Windowed layout stays."""
+        padding it saves the matmuls. Windowed layout stays.
+
+        ``fused_ln=(scale, bias)``: x is the PRE-norm windowed input — run
+        the whole block half ``x + proj(attn(LN(x)))`` in the fused Pallas
+        window-block kernel (caller guarantees TPU + deterministic)."""
         bnw, n, c = x.shape
         ws = self.window_size
         head_dim = c // self.num_heads
         # head-major packed qkv (H, 3, D) — TP-friendly layout (see
         # models/vit.py Attention; converters permute from torch's 3-major)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(bnw, n, self.num_heads, 3, head_dim)
-        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
+        w_qkv, b_qkv = DenseParams(c, 3 * c, name="qkv")()
+        w_proj, b_proj = DenseParams(c, c, name="proj")()
 
         rpb_table = self.param(
             "relative_position_bias_table",
@@ -94,6 +103,30 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(relative_position_index(ws).reshape(-1))
         bias = rpb_table[idx].reshape(n, n, self.num_heads)
+        jmask = None if mask is None else jnp.asarray(mask)
+        nw = 1 if mask is None else mask.shape[0]
+
+        if fused_ln is not None:
+            from robustart_tpu.ops.pallas_attention import window_block_pallas
+
+            wr = w_qkv.reshape(c, self.num_heads, 3, head_dim)
+            br = b_qkv.reshape(self.num_heads, 3, head_dim)
+            dt = self.dtype
+            return window_block_pallas(
+                x.astype(dt), fused_ln[0], fused_ln[1],
+                wr[:, :, 0].reshape(c, c).astype(dt), br[:, 0].reshape(c),
+                wr[:, :, 1].reshape(c, c).astype(dt), br[:, 1].reshape(c),
+                wr[:, :, 2].reshape(c, c).astype(dt), br[:, 2].reshape(c),
+                w_proj.astype(dt), b_proj,
+                bias.transpose(2, 0, 1), jmask, num_windows=nw, eps=1e-5,
+            )
+
+        qkv = (
+            jnp.dot(x.astype(self.dtype), w_qkv.astype(self.dtype))
+            + b_qkv.astype(self.dtype)
+        )
+        qkv = qkv.reshape(bnw, n, self.num_heads, 3, head_dim)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
 
         impl = self.attention_impl
         if impl == "auto":
@@ -105,9 +138,7 @@ class WindowAttention(nn.Module):
             from robustart_tpu.ops.pallas_attention import window_mha_pallas
 
             out = window_mha_pallas(
-                q, k, v, bias.transpose(2, 0, 1),
-                None if mask is None else jnp.asarray(mask),
-                num_windows=1 if mask is None else mask.shape[0],
+                q, k, v, bias.transpose(2, 0, 1), jmask, num_windows=nw,
             ).reshape(bnw, n, c)
         else:
             scale = 1.0 / np.sqrt(head_dim)
@@ -115,13 +146,15 @@ class WindowAttention(nn.Module):
             attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
 
             if mask is not None:
-                nw = mask.shape[0]
                 attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
-                attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
+                attn = attn + jmask[None, :, None].astype(attn.dtype)
                 attn = attn.reshape(bnw, self.num_heads, n, n)
             attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(bnw, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return (
+            jnp.dot(out, w_proj.astype(self.dtype))
+            + b_proj.astype(self.dtype)
+        )
 
 
 class SwinBlock(nn.Module):
@@ -140,20 +173,54 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         ws = min(self.window_size, self.resolution)
         shift = self.shift if ws < self.resolution else 0
-        shortcut = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        windows = window_partition(y, ws)
+        ln1_scale, ln1_bias = LNParams(c, name="norm1")()
         mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
-        attn_out = WindowAttention(
+        attn = WindowAttention(
             self.dim, self.num_heads, ws,
             attention_impl=self.attention_impl, dtype=self.dtype, name="attn"
-        )(windows, mask, deterministic=deterministic)
-        y = window_reverse(attn_out, ws, h, w)
-        if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        x = shortcut + DropPath(self.drop_path)(y, deterministic=deterministic)
+        )
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # fused block half (LN + qkv + attention + proj + residual in one
+        # VMEM program): gated to lane-aligned C (Mosaic cannot shape-cast
+        # the (wpb, N, C)→(wpb·N, C) collapse unless C % 128 == 0 — hits
+        # swin_tiny/small at C=96/192) where the four resident C×C weight
+        # blocks fit the VMEM budget (~5 MB bf16 → stages 0-2 of swin_base;
+        # the C=1024 stage keeps the two-step path)
+        itemsize = jnp.dtype(self.dtype).itemsize
+        fused = (
+            impl == "pallas" and deterministic
+            and c % 128 == 0
+            and 4 * c * c * itemsize <= 5 * 2**20
+        )
+        if fused:
+            y = (
+                jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift > 0
+                else x
+            )
+            out = attn(
+                window_partition(y, ws), mask, deterministic=deterministic,
+                fused_ln=(ln1_scale, ln1_bias),
+            )
+            y = window_reverse(out, ws, h, w)
+            # residual is fused in-kernel; roll(x)+roll(dy) == roll(x+dy)
+            x = (
+                jnp.roll(y, (shift, shift), axis=(1, 2)) if shift > 0 else y
+            )
+        else:
+            shortcut = x
+            y = layer_norm(x, ln1_scale, ln1_bias, 1e-5, self.dtype)
+            if shift > 0:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            windows = window_partition(y, ws)
+            attn_out = attn(windows, mask, deterministic=deterministic)
+            y = window_reverse(attn_out, ws, h, w)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            x = shortcut + DropPath(self.drop_path)(
+                y, deterministic=deterministic
+            )
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         hidden = int(c * self.mlp_ratio)
         w1, b1 = DenseParams(c, hidden, name="mlp_fc1")()

@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from robustart_tpu.models.layers import DenseParams, DropPath
+from robustart_tpu.models.layers import (
+    DenseParams,
+    DropPath,
+    LNParams,
+    layer_norm,
+)
 
 
 class MlpBlock(nn.Module):
@@ -69,7 +74,8 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 fused_ln: tuple | None = None) -> jax.Array:
         b, n, c = x.shape
         head_dim = c // self.num_heads
         # packed qkv: one MXU matmul instead of three. HEAD-MAJOR column
@@ -77,7 +83,38 @@ class Attention(nn.Module):
         # kernel is a contiguous group of heads, so head-sharded attention
         # follows without the per-block all-gather the torch (3, H, D)
         # packing forces (converters permute, torch_convert.py qkv fixup)
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        w_qkv, b_qkv = DenseParams(c, 3 * c, use_bias=self.qkv_bias,
+                                   name="qkv")()
+        w_proj, b_proj = DenseParams(c, c, name="proj")()
+
+        if fused_ln is not None:
+            # whole block half x + proj(attn(LN(x))) in the fused Pallas
+            # window-block kernel (ops/pallas_attention.py) with one
+            # 197-token "window" per image; (H, 1, 1) broadcast-zeros in
+            # place of Swin's relative-position bias. Caller (EncoderBlock)
+            # guarantees TPU + deterministic.
+            from robustart_tpu.ops.pallas_attention import window_block_pallas
+
+            ln_scale, ln_bias, eps = fused_ln
+            dt = self.dtype
+            wr = w_qkv.reshape(c, self.num_heads, 3, head_dim)
+            if b_qkv is None:
+                bz = jnp.zeros((self.num_heads, 3, head_dim), jnp.float32)
+            else:
+                bz = b_qkv.reshape(self.num_heads, 3, head_dim)
+            return window_block_pallas(
+                x.astype(dt), ln_scale, ln_bias,
+                wr[:, :, 0].reshape(c, c).astype(dt), bz[:, 0].reshape(c),
+                wr[:, :, 1].reshape(c, c).astype(dt), bz[:, 1].reshape(c),
+                wr[:, :, 2].reshape(c, c).astype(dt), bz[:, 2].reshape(c),
+                w_proj.astype(dt), b_proj,
+                jnp.zeros((self.num_heads, 1, 1), jnp.float32),
+                None, num_windows=1, eps=eps,
+            )
+
+        qkv = jnp.dot(x.astype(self.dtype), w_qkv.astype(self.dtype))
+        if b_qkv is not None:
+            qkv = qkv + b_qkv.astype(self.dtype)
         qkv = qkv.reshape(b, n, self.num_heads, 3, head_dim)
         q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # (b, n, h, d)
         scale = 1.0 / np.sqrt(head_dim)
@@ -103,7 +140,9 @@ class Attention(nn.Module):
             self.sow("intermediates", "attn_weights", attn)
             attn = nn.Dropout(self.attention_dropout)(attn, deterministic=deterministic)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
-        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = jnp.dot(out, w_proj.astype(self.dtype)) + b_proj.astype(
+            self.dtype
+        )
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
 
@@ -121,8 +160,9 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = Attention(
+        c = x.shape[-1]
+        ln1_scale, ln1_bias = LNParams(c, name="norm1")()
+        attn = Attention(
             self.num_heads,
             qkv_bias=self.qkv_bias,
             attention_dropout=self.attention_dropout,
@@ -131,8 +171,27 @@ class EncoderBlock(nn.Module):
             attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="attn",
-        )(y, deterministic=deterministic)
-        x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
+        )
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # fused block half (LN + qkv + attention + proj + residual in one
+        # VMEM program, see models/swin.py SwinBlock): gated to C where the
+        # four resident C×C weight blocks fit the VMEM budget — ViT-B bf16
+        # (4.7 MB) qualifies, ViT-L/CLIP-L (8 MB) keep the two-step path
+        itemsize = jnp.dtype(self.dtype).itemsize
+        fused = (
+            impl == "pallas" and deterministic
+            and c % 128 == 0  # Mosaic (wpb·N, C) collapse needs lane-aligned C
+            and 4 * c * c * itemsize <= 5 * 2**20
+        )
+        if fused:
+            x = attn(x, deterministic=True,
+                     fused_ln=(ln1_scale, ln1_bias, 1e-6))
+        else:
+            y = layer_norm(x, ln1_scale, ln1_bias, 1e-6, self.dtype)
+            y = attn(y, deterministic=deterministic)
+            x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MlpBlock(
             int(x.shape[-1] * self.mlp_ratio),

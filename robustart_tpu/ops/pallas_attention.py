@@ -288,3 +288,274 @@ def window_mha_pallas(q, k, v, rel_bias, mask=None, *, num_windows: int = 1,
         None if mask is None else jnp.asarray(mask, jnp.float32),
         h, num_windows, interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Swin window BLOCK: LN + qkv + window attention + proj + residual in
+# one VMEM program over ``wpb`` windows. Post-kernel profiling (WORKLOG r3)
+# showed ~50% of swin_base eval time in the qkv/proj matmuls and layout ops
+# around the attention core: every windowed (·, 49, C) tensor pads 49→64
+# sublane tiles in HBM, and the per-window M=49 matmul rows under-fill the
+# MXU. Here HBM sees only the block input and output; qkv/proj run at
+# M = wpb·49 rows with the weights VMEM-resident.
+# ---------------------------------------------------------------------------
+
+
+def _ln_f32(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def window_block_reference(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
+                           wp, bp, rel_bias, mask=None, *,
+                           num_windows: int = 1, eps: float = 1e-5):
+    """XLA reference for the fused window block (VJP + parity tests).
+
+    x: (B·nW, N, C) pre-LN windowed input. w{q,k,v}: (C, H·D) per-branch
+    weights (head h in columns [h·D, (h+1)·D)); wp: (C, C);
+    rel_bias: (H, N, N); mask: (nW, N, N) or None.
+    Returns x + proj(attn(LN(x))).
+    """
+    bnw, n, c = x.shape
+    h = rel_bias.shape[0]
+    d = c // h
+    scale = 1.0 / np.sqrt(d)
+    xn = _ln_f32(x, ln_scale, ln_bias, eps).astype(x.dtype)
+
+    def branch(w, b):
+        out = jnp.dot(xn, w.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        return (out + b.astype(jnp.float32)).astype(x.dtype)
+
+    q = branch(wq, bq).reshape(bnw, n, h, d)
+    k = branch(wk, bk).reshape(bnw, n, h, d)
+    v = branch(wv, bv).reshape(bnw, n, h, d)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(x.dtype), k)
+    attn = attn.astype(jnp.float32) + rel_bias[None].astype(jnp.float32)
+    if mask is not None:
+        nw = num_windows
+        attn = attn.reshape(bnw // nw, nw, h, n, n)
+        attn = attn + mask[None, :, None].astype(jnp.float32)
+        attn = attn.reshape(bnw, h, n, n)
+    p = jax.nn.softmax(attn, -1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(bnw, n, c)
+    y = jnp.dot(out, wp.astype(x.dtype),
+                preferred_element_type=jnp.float32) + bp.astype(jnp.float32)
+    return (x.astype(jnp.float32) + y).astype(x.dtype)
+
+
+def _window_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                         bk_ref, wv_ref, bv_ref, wp_ref, bp_ref, b_ref,
+                         m_ref, o_ref, attn_ref, *, scale: float,
+                         with_mask: bool, num_heads: int, head_dim: int,
+                         n: int, wpb: int, eps: float):
+    c = num_heads * head_dim
+    xw = x_ref[:].reshape(wpb * n, c)
+    xn = _ln_f32(xw, lns_ref[0], lnb_ref[0], eps).astype(xw.dtype)
+
+    def branch(w_ref2, b_ref2):
+        out = jax.lax.dot_general(
+            xn, w_ref2[:].astype(xn.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref2[0].astype(jnp.float32)
+        return out.astype(xn.dtype)
+
+    q = branch(wq_ref, bq_ref)
+    k = branch(wk_ref, bk_ref)
+    v = branch(wv_ref, bv_ref)
+    d = head_dim
+    for w in range(wpb):
+        rows = slice(w * n, (w + 1) * n)
+        qw = q[rows].astype(jnp.float32)
+        kw = k[rows].astype(jnp.float32)
+        vw = v[rows]
+        maskw = m_ref[w].astype(jnp.float32) if with_mask else None
+        for hh in range(num_heads):
+            cols = slice(hh * d, (hh + 1) * d)
+            s = jax.lax.dot_general(
+                qw[:, cols] * scale, kw[:, cols],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + b_ref[hh].astype(jnp.float32)
+            if with_mask:
+                s = s + maskw
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            attn_ref[rows, cols] = jnp.dot(
+                p.astype(vw.dtype), vw[:, cols],
+                preferred_element_type=jnp.float32,
+            ).astype(attn_ref.dtype)
+    y = jax.lax.dot_general(
+        attn_ref[:], wp_ref[:].astype(xw.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[0].astype(jnp.float32)
+    y = y + xw.astype(jnp.float32)
+    o_ref[:] = y.reshape(wpb, n, c).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "num_windows", "eps", "wpb", "interpret"),
+)
+def _window_block_impl(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
+                       rel_bias, mask, *, num_heads: int, num_windows: int,
+                       eps: float, wpb: int, interpret: bool = False):
+    bnw, n, c = x.shape
+    d = c // num_heads
+    scale = 1.0 / np.sqrt(d)
+    with_mask = mask is not None
+
+    def row(v):
+        return v.reshape(1, -1)
+
+    in_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, row(ln_scale), row(ln_bias)]
+    for w_, b_ in ((wq, bq), (wk, bk), (wv, bv), (wp, bp)):
+        in_specs += [
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [w_, row(b_)]
+    in_specs.append(
+        # (H, N, N) rel-bias table, or (H, 1, 1) broadcast-zeros for plain
+        # (ViT-style) attention without a relative bias
+        pl.BlockSpec((num_heads, rel_bias.shape[1], rel_bias.shape[2]),
+                     lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(rel_bias)
+    if with_mask:
+        in_specs.append(
+            pl.BlockSpec((wpb, n, n),
+                         lambda i: (i % (num_windows // wpb), 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask)
+    else:
+        in_specs.append(
+            pl.BlockSpec((wpb, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.zeros((wpb, n, n), jnp.float32))
+    return pl.pallas_call(
+        functools.partial(
+            _window_block_kernel, scale=scale, with_mask=with_mask,
+            num_heads=num_heads, head_dim=d, n=n, wpb=wpb, eps=eps,
+        ),
+        grid=(bnw // wpb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bnw, n, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
+def _window_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
+                  rel_bias, mask, num_heads, num_windows, eps, wpb,
+                  interpret):
+    return _window_block_impl(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
+        mask, num_heads=num_heads, num_windows=num_windows, eps=eps,
+        wpb=wpb, interpret=interpret,
+    )
+
+
+def _window_block_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
+                      rel_bias, mask, num_heads, num_windows, eps, wpb,
+                      interpret):
+    out = _window_block_impl(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
+        mask, num_heads=num_heads, num_windows=num_windows, eps=eps,
+        wpb=wpb, interpret=interpret,
+    )
+    return out, (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
+                 rel_bias, mask)
+
+
+def _window_block_bwd(num_heads, num_windows, eps, wpb, interpret,
+                      residuals, g):
+    """Exact gradients for EVERY input (x, LN affine, qkv/proj weights,
+    bias table, mask) by recomputing through the XLA reference."""
+    del num_heads, wpb, interpret
+    (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
+     mask) = residuals
+    has_mask = mask is not None
+
+    def ref(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
+            mask):
+        return window_block_reference(
+            x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
+            mask if has_mask else None, num_windows=num_windows, eps=eps,
+        )
+
+    args = (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
+            mask if has_mask else jnp.zeros((1, x.shape[1], x.shape[1]),
+                                            jnp.float32))
+    _, vjp = jax.vjp(ref, *args)
+    grads = vjp(g.astype(x.dtype))
+    grads = tuple(gi.astype(ai.dtype) for gi, ai in zip(grads, args))
+    return grads[:-1] + ((grads[-1] if has_mask else None),)
+
+
+_window_block.defvjp(_window_block_fwd, _window_block_bwd)
+
+
+def _wpb_auto(bnw: int, n: int, c: int, h: int, nb: int, itemsize: int,
+              masked: bool, num_windows: int) -> int:
+    """Largest windows-per-program whose VMEM footprint fits the ~16 MB
+    scoped budget (measured: wpb=8 at n=144, C=512 allocates 18.15 MB and
+    the compiler aborts). Model, validated against that point (est. 20 MB):
+    resident weights 4C²·is + bias table + per-program blocks — x/out
+    double-buffered, attn scratch, f32 qkv accumulators before the cast
+    (≈ 3·(4+is)·rows·C), LN temp, plus the mask block when shifted."""
+    budget = 14 * 2**20
+    fixed = 4 * c * c * itemsize + h * nb * nb * 4
+    for cand in (8, 4, 2):
+        if bnw % cand or (masked and num_windows % cand):
+            continue
+        per = cand * (n * n * 4 * (2 if masked else 1)
+                      + n * c * (5 * itemsize + 16))
+        if fixed + per <= budget:
+            return cand
+    return 1
+
+
+def window_block_pallas(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp,
+                        bp, rel_bias, mask=None, *, num_windows: int = 1,
+                        eps: float = 1e-5, wpb: int | None = None,
+                        interpret: bool = False):
+    """Fused Swin block attention half: ``x + proj(attn(LN(x)))``.
+
+    x: (B·nW, N, C) PRE-norm windowed input (roll applied by the caller for
+    shifted blocks — roll commutes with the per-token LN and residual).
+    w{q,k,v}: (C, H·D); wp: (C, C); rel_bias: (H, N, N); mask: (nW, N, N).
+    ``wpb`` windows are processed per program (qkv/proj matmuls run at
+    M = wpb·N rows); must divide B·nW and, when masked, num_windows.
+    Differentiable: custom VJP with exact gradients for all inputs.
+    """
+    bnw, n, c = x.shape
+    h = rel_bias.shape[0]
+    if wpb is None:
+        wpb = _wpb_auto(bnw, n, c, h, rel_bias.shape[1],
+                        jnp.dtype(x.dtype).itemsize, mask is not None,
+                        num_windows)
+    return _window_block(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
+        jnp.asarray(rel_bias, jnp.float32),
+        None if mask is None else jnp.asarray(mask, jnp.float32),
+        h, num_windows, eps, wpb, interpret,
+    )

@@ -54,6 +54,24 @@ def test_eval_list_expansion():
     assert "eval_list" not in subs[0]
 
 
+def test_eval_list_aligns_native_input_size():
+    """swin_base_384 in the reference swin eval_list (swin/config.yaml:10)
+    must be fed 384² crops (its window-12 geometry breaks at 224); the
+    224-native entries keep the config's sizes."""
+    cfg = Config(
+        {
+            "model": {"type": "resnet18"},
+            "data": {"input_size": 224, "test_resize": 256},
+            "eval_list": ["swin_base_224", "swin_base_384"],
+        }
+    )
+    subs = list(iter_eval_list(cfg))
+    assert subs[0].data.input_size == 224
+    assert subs[0].data.test_resize == 256
+    assert subs[1].data.input_size == 384
+    assert subs[1].data.test_resize == round(256 * 384 / 224)
+
+
 def test_registry():
     reg = Registry("thing")
 

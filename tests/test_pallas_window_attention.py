@@ -138,18 +138,14 @@ def test_swin_module_bias_table_param_grad_nonzero():
         )
         return jnp.sum(out * out)
 
-    orig = pa.window_mha_pallas
+    from tests.test_pallas_window_block import _interp_patches
 
-    def interp(q, k, v, rel_bias, mask=None, *, num_windows=1,
-               interpret=False):
-        return orig(q, k, v, rel_bias, mask, num_windows=num_windows,
-                    interpret=True)
-
-    pa.window_mha_pallas = interp
+    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
+    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
     try:
         g_pallas = jax.grad(loss)(clf.variables["params"], "pallas")
     finally:
-        pa.window_mha_pallas = orig
+        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
     g_ref = jax.grad(loss)(clf.variables["params"], "xla")
 
     flat_p = jax.tree_util.tree_leaves_with_path(g_pallas)
@@ -186,19 +182,15 @@ def test_swin_module_pallas_impl_matches_xla():
 
     ref = module.clone(attention_impl="xla").apply(clf.variables, xn,
                                                    train=False)
-    orig = pa.window_mha_pallas
+    from tests.test_pallas_window_block import _interp_patches
 
-    def interp(q, k, v, rel_bias, mask=None, *, num_windows=1,
-               interpret=False):
-        return orig(q, k, v, rel_bias, mask, num_windows=num_windows,
-                    interpret=True)
-
-    pa.window_mha_pallas = interp
+    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
+    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
     try:
         got = module.clone(attention_impl="pallas").apply(
             clf.variables, xn, train=False
         )
     finally:
-        pa.window_mha_pallas = orig
+        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)

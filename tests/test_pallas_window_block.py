@@ -1,0 +1,229 @@
+"""Fused Swin window-BLOCK Pallas kernel (LN + qkv + attention + proj +
+residual in one VMEM program) vs the XLA reference: forward parity, wpb
+batching, mask indexing, and exact gradients for every input.
+
+Runs on CPU via the TPU-semantics interpreter (CLAUDE.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustart_tpu.ops.pallas_attention import (
+    window_block_pallas,
+    window_block_reference,
+)
+
+
+def _data(bnw=8, n=49, h=4, d=32, num_windows=4, with_mask=True, seed=0):
+    rng = np.random.default_rng(seed)
+    c = h * d
+
+    def arr(*shape, s=1.0):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    x = arr(bnw, n, c)
+    ln_scale = arr(c, s=0.2) + 1.0
+    ln_bias = arr(c, s=0.1)
+    ws = [arr(c, c, s=c ** -0.5) for _ in range(3)] + [arr(c, c, s=c ** -0.5)]
+    bs = [arr(c, s=0.05) for _ in range(4)]
+    rel_bias = arr(h, n, n, s=0.5)
+    mask = None
+    if with_mask:
+        m = np.zeros((num_windows, n, n), np.float32)
+        m[rng.uniform(size=(num_windows, n, n)) < 0.3] = -100.0
+        mask = jnp.asarray(m)
+    return (x, ln_scale, ln_bias, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+            ws[3], bs[3], rel_bias, mask)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("wpb", [1, 2, 4])
+def test_window_block_forward_matches_reference(with_mask, wpb):
+    args = _data(with_mask=with_mask)
+    ref = window_block_reference(*args, num_windows=4)
+    got = window_block_pallas(*args, num_windows=4, wpb=wpb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_window_block_mask_indexed_per_window_position():
+    """Each window must get mask[window_index % num_windows] — a uniform
+    mask would hide a wrong BlockSpec index map."""
+    nw = 4
+    args = list(_data(bnw=8, num_windows=nw, with_mask=False, seed=1))
+    rng = np.random.default_rng(2)
+    n = args[0].shape[1]
+    args[12] = jnp.asarray(
+        np.where(rng.uniform(size=(nw, n, n)) < 0.4, -100.0, 0.0),
+        jnp.float32,
+    )
+    ref = window_block_reference(*args, num_windows=nw)
+    for wpb in (1, 2, 4):
+        got = window_block_pallas(*args, num_windows=nw, wpb=wpb,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_window_block_all_gradients_match():
+    """custom VJP must produce exact cotangents for x, LN affine, all four
+    weight/bias pairs, the bias table AND the mask (ADVICE r2: no silently
+    frozen parameters)."""
+    args = _data(bnw=4, h=2, seed=3)
+
+    def loss_pallas(*a):
+        out = window_block_pallas(*a, num_windows=4, wpb=2, interpret=True)
+        return jnp.sum(out * out)
+
+    def loss_ref(*a):
+        out = window_block_reference(*a, num_windows=4)
+        return jnp.sum(out * out)
+
+    idx = tuple(range(13))
+    gp = jax.grad(loss_pallas, argnums=idx)(*args)
+    gr = jax.grad(loss_ref, argnums=idx)(*args)
+    for i, (a, b) in enumerate(zip(gp, gr)):
+        assert float(jnp.abs(b).max()) > 1e-6, f"trivial reference grad {i}"
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_window_block_no_mask_grad_is_none_safe():
+    args = _data(bnw=4, h=2, with_mask=False, seed=5)
+
+    def loss(x):
+        a = list(args)
+        a[0] = x
+        out = window_block_pallas(*a, num_windows=1, wpb=4, interpret=True)
+        return jnp.sum(out * out)
+
+    g = jax.grad(loss)(args[0])
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def _interp_patches(pa):
+    """Wrap both Swin Pallas entry points with interpret=True versions."""
+    orig_mha, orig_blk = pa.window_mha_pallas, pa.window_block_pallas
+
+    def mha(q, k, v, rel_bias, mask=None, *, num_windows=1, interpret=False):
+        return orig_mha(q, k, v, rel_bias, mask, num_windows=num_windows,
+                        interpret=True)
+
+    def blk(*a, **kw):
+        kw["interpret"] = True
+        return orig_blk(*a, **kw)
+
+    return orig_mha, orig_blk, mha, blk
+
+
+def test_swin_module_fused_block_matches_xla():
+    """Module-level: the fused block half (default pallas path at small C)
+    matches the einsum forward, shift and no-shift blocks both."""
+    from robustart_tpu.models.swin import SwinTransformer
+    from robustart_tpu.models.classifier import init_classifier
+    import robustart_tpu.ops.pallas_attention as pa
+
+    # embed_dim 128: the fused path gates on lane-aligned C (C % 128 == 0)
+    module = SwinTransformer(
+        embed_dim=128, depths=(2,), num_heads=(4,), window_size=7,
+        num_classes=10, drop_path=0.0,
+    )
+    clf = init_classifier("swin_mini", module, rng=0, input_size=56)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 56, 56, 3)), jnp.float32)
+    xn = (x - jnp.asarray(clf.mean)) / jnp.asarray(clf.std)
+
+    ref = module.clone(attention_impl="xla").apply(clf.variables, xn,
+                                                   train=False)
+    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
+    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
+    try:
+        got = module.clone(attention_impl="pallas").apply(
+            clf.variables, xn, train=False
+        )
+    finally:
+        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_swin_module_fused_block_param_grads_match_xla():
+    """Full param-tree gradients through the fused deterministic forward
+    equal the einsum path's (incl. LN affine, qkv/proj, bias tables)."""
+    from robustart_tpu.models.swin import SwinTransformer
+    from robustart_tpu.models.classifier import init_classifier
+    import robustart_tpu.ops.pallas_attention as pa
+
+    # embed_dim 128: the fused path gates on lane-aligned C (C % 128 == 0)
+    module = SwinTransformer(
+        embed_dim=128, depths=(2,), num_heads=(4,), window_size=7,
+        num_classes=10, drop_path=0.0,
+    )
+    clf = init_classifier("swin_mini", module, rng=0, input_size=56)
+    rng = np.random.default_rng(1)
+    xn = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
+
+    def loss(params, impl):
+        out = module.clone(attention_impl=impl).apply(
+            {"params": params}, xn, train=False
+        )
+        return jnp.sum(out * out)
+
+    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
+    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
+    try:
+        g_pallas = jax.grad(loss)(clf.variables["params"], "pallas")
+    finally:
+        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
+    g_ref = jax.grad(loss)(clf.variables["params"], "xla")
+
+    flat_r = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_ref)}
+    for key, gp_leaf in jax.tree_util.tree_leaves_with_path(g_pallas):
+        ks = jax.tree_util.keystr(key)
+        np.testing.assert_allclose(
+            np.asarray(gp_leaf), np.asarray(flat_r[ks]),
+            rtol=5e-3, atol=5e-3, err_msg=ks,
+        )
+
+
+def test_vit_module_fused_block_matches_xla():
+    """ViT reuses the fused window-block kernel (one 197-token window per
+    image, (H,1,1) broadcast-zero bias): module-level forward equivalence
+    vs the einsum path, and input grads (attack path) agree."""
+    from robustart_tpu.models.vit import VisionTransformer
+    import robustart_tpu.ops.pallas_attention as pa
+    from robustart_tpu.ops import pallas_mlp as pm
+
+    # embed_dim 128: the fused path gates on lane-aligned C (C % 128 == 0)
+    module = VisionTransformer(
+        patch_size=8, embed_dim=128, depth=2, num_heads=4, num_classes=10,
+        drop_path=0.0, attention_impl="xla",
+    )
+    rng = np.random.default_rng(0)
+    xn = jnp.asarray(rng.standard_normal((2, 32, 32, 3)) * 0.5, jnp.float32)
+    v = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                    train=False)
+    ref = module.apply(v, xn, train=False)
+    g_ref = jax.grad(lambda xi: jnp.sum(
+        module.apply(v, xi, train=False) ** 2))(xn)
+
+    fused_mod = VisionTransformer(
+        patch_size=8, embed_dim=128, depth=2, num_heads=4, num_classes=10,
+        drop_path=0.0, attention_impl="pallas",
+    )
+    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
+    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
+    try:
+        got = fused_mod.apply(v, xn, train=False)
+        g_got = jax.grad(lambda xi: jnp.sum(
+            fused_mod.apply(v, xi, train=False) ** 2))(xn)
+    finally:
+        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)

@@ -57,3 +57,22 @@ def test_clip_meta_and_forward():
                             num_classes=10)
     out = clf(jnp.ones((1, 224, 224, 3)) * 0.5)
     assert out.shape == (1, 10) and bool(jnp.isfinite(out).all())
+
+
+def test_swin_base_384_uses_window_12():
+    """swin_base_384 (reference swin/config.yaml:10 eval_list) must build
+    with window 12 (upstream swin_base_patch4_window12_384): 384/4 = 96
+    spatial is not divisible by the 224-variant's window 7 — found by a
+    cls_solver --evaluate run over the reference eval_list."""
+    from robustart_tpu.models import get_model
+    from robustart_tpu.models.swin import SwinTransformer
+
+    m = get_model("swin_base_384")
+    assert m.window_size == 12
+    assert model_meta("swin_base_384")["input_size"] == 384
+    # scaled-down 384-geometry forward: 96² input -> 24 spatial, window 12
+    mini = SwinTransformer(embed_dim=24, depths=(2, 2), num_heads=(3, 6),
+                           window_size=12, num_classes=10, drop_path=0.0)
+    v = mini.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)), train=False)
+    out = mini.apply(v, jnp.ones((1, 96, 96, 3)) * 0.5, train=False)
+    assert out.shape == (1, 10) and bool(jnp.isfinite(out).all())
