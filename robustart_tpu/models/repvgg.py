@@ -142,6 +142,33 @@ def reparameterize_params(variables) -> dict:
     return {"params": out_params}
 
 
+def deploy_classifier(clf):
+    """Return an eval-only :class:`Classifier` in deploy form.
+
+    Folds every block's three branches (``reparameterize_params``) and swaps
+    the module for its ``deploy=True`` twin — one MXU-friendly 3x3 conv +
+    bias + relu per block, mathematically identical to the train form (up to
+    float rounding). This mirrors the upstream RepVGG deployment conversion
+    (the reference evals the train-form torchvision-style module; the fused
+    form is the TPU-first eval path — input gradients for attacks are exact
+    through it).
+    """
+    import dataclasses as _dc
+
+    module = clf.module
+    if not isinstance(module, RepVGG):
+        raise ValueError(f"deploy_classifier expects RepVGG, got {type(module).__name__}")
+    if module.deploy:
+        return clf
+    # params stay f32 (flax param_dtype convention); the deploy module's
+    # dtype knob casts inside the conv exactly like the train form
+    fused_vars = jax.tree.map(jnp.asarray, reparameterize_params(clf.variables))
+    return _dc.replace(
+        clf, name=f"{clf.name}@deploy", module=module.clone(deploy=True),
+        variables=fused_vars,
+    )
+
+
 def repvgg_A0(**kw):
     kw.pop("bn", None)
     return RepVGG(num_blocks=(2, 4, 14, 1), width_a=0.75, width_b=2.5, **kw)

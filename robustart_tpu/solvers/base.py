@@ -362,6 +362,7 @@ class Solver:
         broadcast so all ranks run ONE int8 model (merged results must not
         mix per-rank calibrations). Returns True when the swap happened.
         """
+        self.maybe_deploy()
         mode = self.cfg.get_path("model.quantize")
         if mode in (None, False, "none"):
             return False
@@ -400,6 +401,35 @@ class Solver:
         self._eval_fn = wrapped
         logger.info("int8 eval path enabled (%s, calib %d images)",
                     q.name, len(calib))
+        return True
+
+    def maybe_deploy(self) -> bool:
+        """RepVGG evals run the re-parameterized deploy form by default.
+
+        Structural re-parameterization (upstream RepVGG's deployment
+        conversion; models/repvgg.py::reparameterize_params) folds the
+        3x3+1x1+identity branches into one MXU-friendly conv per block —
+        mathematically identical logits, ~2x fewer conv launches. Input
+        gradients (attacks) are exact through the fused form. Opt out with
+        ``model.deploy: false``. Runs after checkpoint load (called from
+        maybe_quantize, which every eval path goes through); eval_list
+        builds a fresh solver per entry so the swap never sees a stale
+        train-form checkpoint."""
+        from robustart_tpu.models.repvgg import RepVGG, deploy_classifier
+
+        module = getattr(self.classifier, "module", None)
+        if not isinstance(module, RepVGG) or module.deploy:
+            return False
+        if self.cfg.get_path("model.deploy") is False:
+            return False
+        if self.tensor_parallel > 1:
+            return False  # tp sharding rules target the train-form tree
+        self.classifier = deploy_classifier(self.classifier)
+        self._eval_fn = None  # rebuild on the fused module
+        logger.info(
+            "RepVGG: eval uses the re-parameterized deploy form "
+            "(model.deploy: false keeps the train form)"
+        )
         return True
 
     def build_quantized(self, calib_images_u8):
@@ -459,6 +489,14 @@ class Solver:
 
             self._warn_int8_pessimization("RegNetX")
             return quantize_regnet(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        from robustart_tpu.models.repvgg import RepVGG
+
+        if isinstance(module, RepVGG):
+            from robustart_tpu.models.quantize_repvgg import quantize_repvgg
+
+            return quantize_repvgg(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
         logger.warning(

@@ -32,12 +32,12 @@ DEFAULT_MODELS = [
     "resnet50_official", "resnet18_official", "vit_b16_224",
     "deit_tiny_b16_224", "mixer_b16_224", "mobilenet_v2",
     "efficientnet_b0", "convnext_base", "swin_base_224",
-    "shufflenet_v2_x1_0", "regnetx_3200m", "densenet121",
+    "shufflenet_v2_x1_0", "regnetx_3200m", "densenet121", "repvgg_A0",
 ]
 
 INT8_FAMILIES = (
     "ResNet", "VisionTransformer", "MobileNetV2",
-    "EfficientNet", "DenseNet", "RegNetX",
+    "EfficientNet", "DenseNet", "RegNetX", "RepVGG",
 )
 
 
@@ -54,6 +54,12 @@ def bench_model(name: str, batch: int) -> dict:
 
     row = {"model": name, "batch": batch}
     clf = create_classifier(name, rng=0, input_size=224, dtype=jnp.bfloat16)
+    if type(clf.module).__name__ == "RepVGG":
+        # eval runs the re-parameterized deploy form (solver default,
+        # solvers/base.py::maybe_deploy)
+        from robustart_tpu.models.repvgg import deploy_classifier
+
+        clf = deploy_classifier(clf)
     rng = np.random.default_rng(0)
     module = clf.module
     x_u8 = jax.device_put(
@@ -95,6 +101,10 @@ def bench_model(name: str, batch: int) -> dict:
         elif fam == "DenseNet":
             from robustart_tpu.models.quantize_densenet import (
                 quantize_densenet as qf,
+            )
+        elif fam == "RepVGG":
+            from robustart_tpu.models.quantize_repvgg import (
+                quantize_repvgg as qf,
             )
         else:
             from robustart_tpu.models.quantize_regnet import (
