@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from robustart_tpu.models.layers import DenseParams, DropPath
+from robustart_tpu.models.layers import (
+    DenseParams,
+    DropPath,
+    LNParams,
+    layer_norm,
+)
 
 
 class MixerMlp(nn.Module):
@@ -24,24 +29,36 @@ class MixerMlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array,
-                 shortcut: jax.Array | None = None) -> jax.Array:
+                 shortcut: jax.Array | None = None,
+                 ln: tuple | None = None,
+                 residual_input: bool = False) -> jax.Array:
+        """``ln=(scale, bias)``: x is the PRE-norm (B, T, C) input — the
+        LayerNorm runs as an in-kernel prologue on TPU (one HBM read of x
+        instead of LN read+write+MLP read). ``residual_input``: add the raw
+        pre-norm x as the residual from the tile already in VMEM."""
         dim = x.shape[self.mix_axis]
         w1, b1 = DenseParams(dim, self.hidden_dim, name="fc1")()
         w2, b2 = DenseParams(self.hidden_dim, dim, name="fc2")()
         on_tpu = jax.default_backend() == "tpu"
+        raw = x  # pre-norm input (the residual when residual_input)
         if self.mix_axis == 1:
             if on_tpu:
                 # token mixing with the token-axis contraction done in VMEM
                 # (ops/pallas_mlp.py::token_mlp_pallas): neither the
                 # (B, C, T) transpose nor the hidden intermediate touches
-                # HBM; the residual rides the epilogue
+                # HBM; LN prologue + residual ride the same program
                 from robustart_tpu.ops.pallas_mlp import token_mlp_pallas
 
                 return token_mlp_pallas(
                     x.astype(self.dtype), w1.astype(self.dtype), b1,
                     w2.astype(self.dtype), b2, shortcut=shortcut, act="gelu",
+                    ln=ln, ln_eps=1e-6, residual_input=residual_input,
                 )
+            if ln is not None:
+                x = layer_norm(x, ln[0], ln[1], 1e-6, self.dtype)
             x = jnp.swapaxes(x, 1, 2)
+        elif ln is not None and not on_tpu:
+            x = layer_norm(x, ln[0], ln[1], 1e-6, self.dtype)
         if on_tpu:
             # fused MLP (ops/pallas_mlp.py): the hidden intermediate stays
             # in VMEM
@@ -51,7 +68,8 @@ class MixerMlp(nn.Module):
                 x.astype(self.dtype), w1.astype(self.dtype), b1,
                 w2.astype(self.dtype), b2,
                 shortcut=shortcut if self.mix_axis != 1 else None,
-                act="gelu",
+                act="gelu", ln=ln, ln_eps=1e-6,
+                residual_input=residual_input,
             )
             if self.mix_axis != 1:
                 return out
@@ -64,8 +82,12 @@ class MixerMlp(nn.Module):
                 b2.astype(self.dtype)
             )
             if self.mix_axis != 1:
+                if residual_input:
+                    return out + raw
                 return out if shortcut is None else out + shortcut
         out = jnp.swapaxes(out, 1, 2)
+        if residual_input and not on_tpu:
+            return out + raw
         return out if shortcut is None else out + shortcut
 
 
@@ -77,21 +99,22 @@ class MixerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        c = x.shape[-1]
+        ln1 = LNParams(c, name="norm1")()
+        ln2 = LNParams(c, name="norm2")()
         tok = MixerMlp(self.tokens_mlp_dim, dtype=self.dtype, mix_axis=1,
                        name="mlp_tokens")
-        if deterministic:
-            # DropPath at eval is the identity — fuse the residual into the
-            # kernel epilogue
-            x = tok(y, shortcut=x)
-        else:
-            x = x + DropPath(self.drop_path)(tok(y),
-                                             deterministic=deterministic)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         ch = MixerMlp(self.channels_mlp_dim, dtype=self.dtype,
                       name="mlp_channels")
         if deterministic:
-            return ch(y, shortcut=x)
+            # DropPath at eval is the identity — LN prologue, MLP, and the
+            # residual all run in ONE kernel per mix (zero standalone
+            # elementwise passes per block)
+            x = tok(x, ln=ln1, residual_input=True)
+            return ch(x, ln=ln2, residual_input=True)
+        y = layer_norm(x, ln1[0], ln1[1], 1e-6, self.dtype)
+        x = x + DropPath(self.drop_path)(tok(y), deterministic=deterministic)
+        y = layer_norm(x, ln2[0], ln2[1], 1e-6, self.dtype)
         return x + DropPath(self.drop_path)(ch(y),
                                             deterministic=deterministic)
 

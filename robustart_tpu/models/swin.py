@@ -221,21 +221,24 @@ class SwinBlock(nn.Module):
             x = shortcut + DropPath(self.drop_path)(
                 y, deterministic=deterministic
             )
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        ln2_scale, ln2_bias = LNParams(c, name="norm2")()
         hidden = int(c * self.mlp_ratio)
         w1, b1 = DenseParams(c, hidden, name="mlp_fc1")()
         w2, b2 = DenseParams(hidden, c, name="mlp_fc2")()
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas" and deterministic:
-            # fused MLP (ops/pallas_mlp.py): the (·, 4C) intermediate stays
-            # in VMEM and the residual rides the epilogue (DropPath at eval
-            # is the identity)
+            # fused LN + MLP + residual in one program (ops/pallas_mlp.py):
+            # the LN prologue reads x once from VMEM, the (·, 4C)
+            # intermediate never leaves VMEM, and the raw-x residual rides
+            # the epilogue (DropPath at eval is the identity)
             from robustart_tpu.ops.pallas_mlp import mlp_pallas
 
             return mlp_pallas(
-                y.astype(self.dtype), w1.astype(self.dtype), b1,
-                w2.astype(self.dtype), b2, shortcut=x, act="gelu",
+                x.astype(self.dtype), w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, act="gelu",
+                ln=(ln2_scale, ln2_bias), ln_eps=1e-5, residual_input=True,
             )
+        y = layer_norm(x, ln2_scale, ln2_bias, 1e-5, self.dtype)
         y = jnp.dot(y.astype(self.dtype), w1.astype(self.dtype)) + b1.astype(
             self.dtype
         )

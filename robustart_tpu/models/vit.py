@@ -36,7 +36,13 @@ class MlpBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 ln: tuple | None = None,
+                 residual_input: bool = False) -> jax.Array:
+        """``ln=(scale, bias)``: x is the PRE-norm input — LayerNorm runs as
+        an in-kernel prologue on TPU; ``residual_input`` adds the raw x as
+        the residual in the kernel epilogue (caller guarantees DropPath is
+        the identity, i.e. a deterministic forward)."""
         out_dim = x.shape[-1]
         w1, b1 = DenseParams(out_dim, self.hidden_dim, name="fc1")()
         w2, b2 = DenseParams(self.hidden_dim, out_dim, name="fc2")()
@@ -49,7 +55,11 @@ class MlpBlock(nn.Module):
             return mlp_pallas(
                 x.astype(self.dtype), w1.astype(self.dtype), b1,
                 w2.astype(self.dtype), b2, act="gelu",
+                ln=ln, ln_eps=1e-6, residual_input=residual_input,
             )
+        raw = x
+        if ln is not None:
+            x = layer_norm(x, ln[0], ln[1], 1e-6, self.dtype)
         x = jnp.dot(x.astype(self.dtype), w1.astype(self.dtype)) + b1.astype(
             self.dtype
         )
@@ -59,7 +69,7 @@ class MlpBlock(nn.Module):
             self.dtype
         )
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return x
+        return x + raw if residual_input else x
 
 
 class Attention(nn.Module):
@@ -192,13 +202,20 @@ class EncoderBlock(nn.Module):
             y = layer_norm(x, ln1_scale, ln1_bias, 1e-6, self.dtype)
             y = attn(y, deterministic=deterministic)
             x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = MlpBlock(
+        ln2_scale, ln2_bias = LNParams(c, name="norm2")()
+        mlp = MlpBlock(
             int(x.shape[-1] * self.mlp_ratio),
             dropout=self.dropout,
             dtype=self.dtype,
             name="mlp",
-        )(y, deterministic=deterministic)
+        )
+        if impl == "pallas" and deterministic:
+            # LN prologue + MLP + residual in one kernel (DropPath at eval
+            # is the identity); saves the standalone LayerNorm's HBM pass
+            return mlp(x, deterministic=True, ln=(ln2_scale, ln2_bias),
+                       residual_input=True)
+        y = layer_norm(x, ln2_scale, ln2_bias, 1e-6, self.dtype)
+        y = mlp(y, deterministic=deterministic)
         return x + DropPath(self.drop_path)(y, deterministic=deterministic)
 
 

@@ -55,12 +55,25 @@ def _act_fn(name: str, in_kernel: bool = False):
     raise ValueError(f"unknown act {name!r}")
 
 
+def _ln_f32(x, scale, bias, eps):
+    """LayerNorm over the last axis with f32 statistics (the fused kernels'
+    in-VMEM numerics; same formula as models/layers.py::layer_norm)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
 def mlp_reference(x, w1, b1, w2, b2, gamma=None, shortcut=None,
-                  act: str = "gelu"):
+                  act: str = "gelu", ln=None, ln_eps: float = 1e-6):
     """XLA reference (used by the CPU path, the VJP, and parity tests).
     Matmuls in the input dtype with f32 accumulation — the flax
-    ``nn.Dense`` contract."""
+    ``nn.Dense`` contract. ``ln=(scale, bias)``: x is the PRE-norm input and
+    LayerNorm runs first (f32 stats)."""
     f = _act_fn(act)
+    if ln is not None:
+        x = _ln_f32(x, ln[0], ln[1], ln_eps).astype(x.dtype)
     h = jnp.dot(x, w1.astype(x.dtype),
                 preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
     h = f(h).astype(x.dtype)
@@ -74,16 +87,26 @@ def mlp_reference(x, w1, b1, w2, b2, gamma=None, shortcut=None,
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, s_ref,
-                o_ref, acc_ref, *, nf: int, act: str, has_gamma: bool,
-                has_shortcut: bool):
+                lns_ref, lnb_ref, o_ref, acc_ref, *, nf: int, act: str,
+                has_gamma: bool, has_shortcut: bool, has_ln: bool,
+                ln_eps: float, residual_input: bool):
     fi = pl.program_id(1)
 
     @pl.when(fi == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if has_ln:
+        # LN prologue (recomputed per F-chunk — pure VPU math on a tile
+        # already resident in VMEM; saves the standalone LayerNorm's HBM
+        # round trip). M-pad rows are all-zero → var 0 → finite via eps.
+        xin = _ln_f32(x_ref[:], lns_ref[0], lnb_ref[0], ln_eps).astype(
+            x_ref.dtype
+        )
+    else:
+        xin = x_ref[:]
     h = jax.lax.dot_general(
-        x_ref[:], w1_ref[:].astype(x_ref.dtype),
+        xin, w1_ref[:].astype(x_ref.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[0].astype(jnp.float32)
@@ -99,16 +122,26 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, s_ref,
         y = acc_ref[:] + b2_ref[0].astype(jnp.float32)
         if has_gamma:
             y = y * g_ref[0].astype(jnp.float32)
-        if has_shortcut:
+        if residual_input:
+            # residual = the RAW pre-norm input tile (already in VMEM) —
+            # no second shortcut stream from HBM
+            y = y + x_ref[:].astype(jnp.float32)
+        elif has_shortcut:
             y = y + s_ref[:].astype(jnp.float32)
         o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("act", "has_gamma", "has_shortcut", "interpret")
+    jax.jit,
+    static_argnames=(
+        "act", "has_gamma", "has_shortcut", "interpret", "has_ln", "ln_eps",
+        "residual_input",
+    ),
 )
-def _mlp_impl(x, w1, b1, w2, b2, gamma, shortcut, *, act: str,
-              has_gamma: bool, has_shortcut: bool, interpret: bool = False):
+def _mlp_impl(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, *, act: str,
+              has_gamma: bool, has_shortcut: bool, has_ln: bool = False,
+              ln_eps: float = 1e-6, residual_input: bool = False,
+              interpret: bool = False):
     m, c = x.shape
     f = w1.shape[1]
     tm = min(256, m)
@@ -134,10 +167,13 @@ def _mlp_impl(x, w1, b1, w2, b2, gamma, shortcut, *, act: str,
         else pl.BlockSpec((1, c), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
     )
+    lns_arg = lns.reshape(1, c) if has_ln else jnp.zeros((1, c), x.dtype)
+    lnb_arg = lnb.reshape(1, c) if has_ln else jnp.zeros((1, c), x.dtype)
     out = pl.pallas_call(
         functools.partial(
             _mlp_kernel, nf=nf, act=act, has_gamma=has_gamma,
-            has_shortcut=has_shortcut,
+            has_shortcut=has_shortcut, has_ln=has_ln, ln_eps=ln_eps,
+            residual_input=residual_input,
         ),
         grid=(mp // tm, nf),
         in_specs=[
@@ -154,76 +190,108 @@ def _mlp_impl(x, w1, b1, w2, b2, gamma, shortcut, *, act: str,
             pl.BlockSpec((1, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             s_spec,
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, c), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((tm, c), jnp.float32)],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x, w1, b1.reshape(1, f), w2, b2.reshape(1, c), g_arg, s_arg)
+    )(x, w1, b1.reshape(1, f), w2, b2.reshape(1, c), g_arg, s_arg,
+      lns_arg, lnb_arg)
     return out[:m]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _mlp(x, w1, b1, w2, b2, gamma, shortcut, act, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _mlp(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, act, interpret,
+         ln_eps, residual_input):
     return _mlp_impl(
-        x, w1, b1, w2, b2, gamma, shortcut, act=act,
+        x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, act=act,
         has_gamma=gamma is not None, has_shortcut=shortcut is not None,
-        interpret=interpret,
+        has_ln=lns is not None, ln_eps=ln_eps,
+        residual_input=residual_input, interpret=interpret,
     )
 
 
-def _mlp_fwd(x, w1, b1, w2, b2, gamma, shortcut, act, interpret):
+def _mlp_fwd(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, act, interpret,
+             ln_eps, residual_input):
     out = _mlp_impl(
-        x, w1, b1, w2, b2, gamma, shortcut, act=act,
+        x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, act=act,
         has_gamma=gamma is not None, has_shortcut=shortcut is not None,
-        interpret=interpret,
+        has_ln=lns is not None, ln_eps=ln_eps,
+        residual_input=residual_input, interpret=interpret,
     )
-    return out, (x, w1, b1, w2, b2, gamma, shortcut)
+    return out, (x, w1, b1, w2, b2, gamma, shortcut, lns, lnb)
 
 
-def _mlp_bwd(act, interpret, residuals, g):
+def _mlp_bwd(act, interpret, ln_eps, residual_input, residuals, g):
     del interpret
-    x, w1, b1, w2, b2, gamma, shortcut = residuals
+    x, w1, b1, w2, b2, gamma, shortcut, lns, lnb = residuals
     has_gamma = gamma is not None
     has_shortcut = shortcut is not None
+    has_ln = lns is not None
 
-    def ref(x, w1, b1, w2, b2, gamma, shortcut):
-        return mlp_reference(
+    def ref(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb):
+        y = mlp_reference(
             x, w1, b1, w2, b2,
             gamma if has_gamma else None,
             shortcut if has_shortcut else None,
             act=act,
+            ln=(lns, lnb) if has_ln else None,
+            ln_eps=ln_eps,
         )
+        if residual_input:
+            # residual path reuses the SAME x — its cotangent accumulates
+            # into dx through this add
+            y = y + x
+        return y
 
     args = (x, w1, b1, w2, b2,
             gamma if has_gamma else jnp.zeros_like(b2),
-            shortcut if has_shortcut else jnp.zeros_like(x))
+            shortcut if has_shortcut else jnp.zeros_like(x),
+            lns if has_ln else jnp.zeros_like(b2),
+            lnb if has_ln else jnp.zeros_like(b2))
     _, vjp = jax.vjp(ref, *args)
-    dx, dw1, db1, dw2, db2, dgamma, dshort = vjp(g.astype(x.dtype))
+    dx, dw1, db1, dw2, db2, dgamma, dshort, dlns, dlnb = vjp(
+        g.astype(x.dtype)
+    )
     return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype),
             dgamma.astype(gamma.dtype) if has_gamma else None,
-            dshort.astype(shortcut.dtype) if has_shortcut else None)
+            dshort.astype(shortcut.dtype) if has_shortcut else None,
+            dlns.astype(lns.dtype) if has_ln else None,
+            dlnb.astype(lnb.dtype) if has_ln else None)
 
 
 _mlp.defvjp(_mlp_fwd, _mlp_bwd)
 
 
 def mlp_pallas(x, w1, b1, w2, b2, gamma=None, shortcut=None,
-               act: str = "gelu", interpret: bool = False):
-    """Fused MLP: ``act(x@W1+b1)@W2+b2 [·gamma] [+shortcut]``.
+               act: str = "gelu", interpret: bool = False, ln=None,
+               ln_eps: float = 1e-6, residual_input: bool = False):
+    """Fused MLP: ``[LN] → act(x@W1+b1)@W2+b2 [·gamma] [+shortcut]``.
 
     x: (..., C) — leading dims are flattened to rows; W1 (C, F), W2 (F, C).
     ``gamma`` (C,) applies the ConvNeXt layer-scale in the epilogue;
     ``shortcut`` (broadcast-compatible with x) fuses the residual add.
-    Differentiable (custom VJP → exact XLA reference gradients).
+    ``ln=(scale, bias)``: x is the PRE-norm input — LayerNorm (f32 stats,
+    ``ln_eps``) runs as a prologue inside the kernel, saving the standalone
+    LayerNorm's HBM round trip. ``residual_input=True`` adds the raw
+    pre-norm x as the residual from the tile already in VMEM (use instead
+    of ``shortcut=x`` — no second HBM stream).
+    Differentiable (custom VJP → exact XLA reference gradients, incl. the
+    LN parameters).
     """
     shape = x.shape
     c = shape[-1]
     x2 = x.reshape(-1, c)
     s2 = None if shortcut is None else shortcut.reshape(-1, c)
-    out = _mlp(x2, w1, b1, w2, b2, gamma, s2, act, interpret)
+    lns, lnb = ln if ln is not None else (None, None)
+    out = _mlp(x2, w1, b1, w2, b2, gamma, s2, lns, lnb, act, interpret,
+               ln_eps, residual_input)
     return out.reshape(shape)
 
 
@@ -233,14 +301,18 @@ def mlp_pallas(x, w1, b1, w2, b2, gamma=None, shortcut=None,
 # ---------------------------------------------------------------------------
 
 
-def token_mlp_reference(x, w1, b1, w2, b2, shortcut=None, act: str = "gelu"):
+def token_mlp_reference(x, w1, b1, w2, b2, shortcut=None, act: str = "gelu",
+                        ln=None, ln_eps: float = 1e-6):
     """XLA reference for the token-mixing MLP.
 
     Semantically ``swapaxes(mlp(swapaxes(x, 1, 2)), 1, 2)`` for x (B, T, C),
     w1 (T, H), w2 (H, T) — written as token-axis contractions so no
     transpose is materialized. Matmuls accumulate in f32.
+    ``ln=(scale, bias)``: LayerNorm over C (f32 stats) runs first.
     """
     f = _act_fn(act)
+    if ln is not None:
+        x = _ln_f32(x, ln[0], ln[1], ln_eps).astype(x.dtype)
     h = jax.lax.dot_general(
         x, w1.astype(x.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),  # (B, C, H)
@@ -258,9 +330,18 @@ def token_mlp_reference(x, w1, b1, w2, b2, shortcut=None, act: str = "gelu"):
     return y.astype(x.dtype)
 
 
-def _token_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref, o_ref, *,
-                      act: str, has_shortcut: bool):
-    x_t = x_ref[0]  # (T, Cc)
+def _token_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref,
+                      lns_ref, lnb_ref, o_ref, *, act: str,
+                      has_shortcut: bool, has_ln: bool, ln_eps: float,
+                      residual_input: bool):
+    x_raw = x_ref[0]  # (T, Cc)
+    if has_ln:
+        # LN over C — requires the full-C tile (tc == C, enforced below)
+        x_t = _ln_f32(x_raw, lns_ref[0], lnb_ref[0], ln_eps).astype(
+            x_raw.dtype
+        )
+    else:
+        x_t = x_raw
     # Contract over T on the LHS dim 0 — Mosaic folds the layout swap into
     # the MXU pass, so the (C, T) view never exists in HBM.
     h = jax.lax.dot_general(
@@ -276,19 +357,29 @@ def _token_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref, o_ref, *,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[:].astype(jnp.float32)
-    if has_shortcut:
+    if residual_input:
+        y = y + x_raw.astype(jnp.float32)
+    elif has_shortcut:
         y = y + s_ref[0].astype(jnp.float32)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("act", "has_shortcut", "interpret")
+    jax.jit,
+    static_argnames=(
+        "act", "has_shortcut", "interpret", "has_ln", "ln_eps",
+        "residual_input",
+    ),
 )
-def _token_mlp_impl(x, w1, b1, w2, b2, shortcut, *, act: str,
-                    has_shortcut: bool, interpret: bool = False):
+def _token_mlp_impl(x, w1, b1, w2, b2, shortcut, lns, lnb, *, act: str,
+                    has_shortcut: bool, has_ln: bool = False,
+                    ln_eps: float = 1e-6, residual_input: bool = False,
+                    interpret: bool = False):
     b, t, c = x.shape
     f = w1.shape[1]
-    tc = min(512, c)
+    # the in-kernel LN normalizes over C, so the program must see the full
+    # channel extent; without LN keep the 512-chunk streaming
+    tc = c if has_ln else min(512, c)
     while c % tc:
         tc //= 2
     s_arg = shortcut if has_shortcut else jnp.zeros((b, 1, tc), x.dtype)
@@ -300,9 +391,12 @@ def _token_mlp_impl(x, w1, b1, w2, b2, shortcut, *, act: str,
                           memory_space=pltpu.VMEM)
     )
 
+    lns_arg = lns.reshape(1, c) if has_ln else jnp.zeros((1, tc), x.dtype)
+    lnb_arg = lnb.reshape(1, c) if has_ln else jnp.zeros((1, tc), x.dtype)
     return pl.pallas_call(
         functools.partial(
-            _token_mlp_kernel, act=act, has_shortcut=has_shortcut
+            _token_mlp_kernel, act=act, has_shortcut=has_shortcut,
+            has_ln=has_ln, ln_eps=ln_eps, residual_input=residual_input,
         ),
         grid=(b, c // tc),
         in_specs=[
@@ -317,61 +411,84 @@ def _token_mlp_impl(x, w1, b1, w2, b2, shortcut, *, act: str,
             pl.BlockSpec((t, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             s_spec,
+            pl.BlockSpec((1, tc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t, tc), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x, w1, b1.reshape(1, f), w2, b2.reshape(t, 1), s_arg)
+    )(x, w1, b1.reshape(1, f), w2, b2.reshape(t, 1), s_arg,
+      lns_arg, lnb_arg)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _token_mlp(x, w1, b1, w2, b2, shortcut, act, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _token_mlp(x, w1, b1, w2, b2, shortcut, lns, lnb, act, interpret,
+               ln_eps, residual_input):
     return _token_mlp_impl(
-        x, w1, b1, w2, b2, shortcut, act=act,
-        has_shortcut=shortcut is not None, interpret=interpret,
+        x, w1, b1, w2, b2, shortcut, lns, lnb, act=act,
+        has_shortcut=shortcut is not None, has_ln=lns is not None,
+        ln_eps=ln_eps, residual_input=residual_input, interpret=interpret,
     )
 
 
-def _token_mlp_fwd(x, w1, b1, w2, b2, shortcut, act, interpret):
+def _token_mlp_fwd(x, w1, b1, w2, b2, shortcut, lns, lnb, act, interpret,
+                   ln_eps, residual_input):
     out = _token_mlp_impl(
-        x, w1, b1, w2, b2, shortcut, act=act,
-        has_shortcut=shortcut is not None, interpret=interpret,
+        x, w1, b1, w2, b2, shortcut, lns, lnb, act=act,
+        has_shortcut=shortcut is not None, has_ln=lns is not None,
+        ln_eps=ln_eps, residual_input=residual_input, interpret=interpret,
     )
-    return out, (x, w1, b1, w2, b2, shortcut)
+    return out, (x, w1, b1, w2, b2, shortcut, lns, lnb)
 
 
-def _token_mlp_bwd(act, interpret, residuals, g):
+def _token_mlp_bwd(act, interpret, ln_eps, residual_input, residuals, g):
     del interpret
-    x, w1, b1, w2, b2, shortcut = residuals
+    x, w1, b1, w2, b2, shortcut, lns, lnb = residuals
     has_shortcut = shortcut is not None
+    has_ln = lns is not None
 
-    def ref(x, w1, b1, w2, b2, shortcut):
-        return token_mlp_reference(
-            x, w1, b1, w2, b2, shortcut if has_shortcut else None, act=act
+    def ref(x, w1, b1, w2, b2, shortcut, lns, lnb):
+        y = token_mlp_reference(
+            x, w1, b1, w2, b2, shortcut if has_shortcut else None, act=act,
+            ln=(lns, lnb) if has_ln else None, ln_eps=ln_eps,
         )
+        if residual_input:
+            y = y + x
+        return y
 
     args = (x, w1, b1, w2, b2,
-            shortcut if has_shortcut else jnp.zeros_like(x))
+            shortcut if has_shortcut else jnp.zeros_like(x),
+            lns if has_ln else jnp.zeros((x.shape[-1],), x.dtype),
+            lnb if has_ln else jnp.zeros((x.shape[-1],), x.dtype))
     _, vjp = jax.vjp(ref, *args)
-    dx, dw1, db1, dw2, db2, dshort = vjp(g.astype(x.dtype))
+    dx, dw1, db1, dw2, db2, dshort, dlns, dlnb = vjp(g.astype(x.dtype))
     return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype),
-            dshort.astype(shortcut.dtype) if has_shortcut else None)
+            dshort.astype(shortcut.dtype) if has_shortcut else None,
+            dlns.astype(lns.dtype) if has_ln else None,
+            dlnb.astype(lnb.dtype) if has_ln else None)
 
 
 _token_mlp.defvjp(_token_mlp_fwd, _token_mlp_bwd)
 
 
 def token_mlp_pallas(x, w1, b1, w2, b2, shortcut=None, act: str = "gelu",
-                     interpret: bool = False):
+                     interpret: bool = False, ln=None, ln_eps: float = 1e-6,
+                     residual_input: bool = False):
     """Token-mixing MLP for (B, T, C) activations, transpose-free.
 
     Computes ``swapaxes(act(swapaxes(x) @ W1 + b1) @ W2 + b2)`` — the
     MLP-Mixer token-mixing step — with the token-axis contraction done
     inside one VMEM program per (batch, C-chunk): neither the (B, C, T)
     transpose nor the (B, C, H) intermediate ever touches HBM.
-    ``shortcut`` fuses the residual add. Differentiable (custom VJP).
+    ``shortcut`` fuses the residual add. ``ln=(scale, bias)`` runs
+    LayerNorm over C as an in-kernel prologue (forces full-C tiles);
+    ``residual_input=True`` adds the raw pre-norm x from VMEM.
+    Differentiable (custom VJP).
     """
-    out = _token_mlp(x, w1, b1, w2, b2, shortcut, act, interpret)
-    return out
+    lns, lnb = ln if ln is not None else (None, None)
+    return _token_mlp(x, w1, b1, w2, b2, shortcut, lns, lnb, act, interpret,
+                      ln_eps, residual_input)

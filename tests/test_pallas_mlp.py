@@ -196,3 +196,120 @@ def test_mixer_block_param_tree_and_forward_unchanged():
     )
     logits = np.asarray(clf(x))
     assert np.isfinite(logits).all() and logits.shape == (1, 1000)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel LayerNorm prologue + residual-of-input epilogue
+# ---------------------------------------------------------------------------
+
+
+def _ln_params(c, seed):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(1 + rng.standard_normal(c) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32))
+
+
+def _ln_oracle(x, s, b, eps=1e-6):
+    xf = np.asarray(x, np.float64)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    return (xf - mu) / np.sqrt(var + eps) * np.asarray(s) + np.asarray(b)
+
+
+def test_ln_prologue_forward():
+    """LN runs inside the kernel on the pre-norm input; residual_input adds
+    the raw x (models pass the SAME tensor for both roles)."""
+    x, w1, b1, w2, b2 = _data(m=48, seed=12)
+    lns, lnb = _ln_params(x.shape[1], 13)
+    xn = jnp.asarray(_ln_oracle(x, lns, lnb), jnp.float32)
+    oracle = mlp_reference(xn, w1, b1, w2, b2) + x
+    got = mlp_pallas(x, w1, b1, w2, b2, ln=(lns, lnb), residual_input=True,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_ln_prologue_gradients():
+    """Input + LN-parameter gradients through the fused LN+MLP+residual
+    match the composed reference (custom VJP)."""
+    x, w1, b1, w2, b2 = _data(m=24, seed=14)
+    lns, lnb = _ln_params(x.shape[1], 15)
+
+    def loss_pallas(x, lns, lnb):
+        out = mlp_pallas(x, w1, b1, w2, b2, ln=(lns, lnb),
+                         residual_input=True, interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_ref(x, lns, lnb):
+        from robustart_tpu.ops.pallas_mlp import _ln_f32
+
+        xn = _ln_f32(x, lns, lnb, 1e-6).astype(x.dtype)
+        out = mlp_reference(xn, w1, b1, w2, b2) + x
+        return jnp.sum(out * jnp.sin(out))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, lns, lnb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, lns, lnb)
+    for a, r in zip(gp, gr):
+        assert float(jnp.abs(r).max()) > 0.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_token_mlp_ln_prologue_forward():
+    from robustart_tpu.ops.pallas_mlp import (
+        token_mlp_pallas,
+        token_mlp_reference,
+    )
+
+    x, w1, b1, w2, b2 = _token_data(seed=16)
+    lns, lnb = _ln_params(x.shape[2], 17)
+    xn = jnp.asarray(_ln_oracle(x, lns, lnb), jnp.float32)
+    oracle = token_mlp_reference(xn, w1, b1, w2, b2) + x
+    got = token_mlp_pallas(x, w1, b1, w2, b2, ln=(lns, lnb),
+                           residual_input=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_token_mlp_ln_prologue_gradients():
+    from robustart_tpu.ops.pallas_mlp import (
+        _ln_f32,
+        token_mlp_pallas,
+        token_mlp_reference,
+    )
+
+    x, w1, b1, w2, b2 = _token_data(b=1, c=128, seed=18)
+    lns, lnb = _ln_params(128, 19)
+
+    def loss_pallas(x, lns, lnb):
+        out = token_mlp_pallas(x, w1, b1, w2, b2, ln=(lns, lnb),
+                               residual_input=True, interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_ref(x, lns, lnb):
+        xn = _ln_f32(x, lns, lnb, 1e-6).astype(x.dtype)
+        out = token_mlp_reference(xn, w1, b1, w2, b2) + x
+        return jnp.sum(out * jnp.sin(out))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, lns, lnb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, lns, lnb)
+    for a, r in zip(gp, gr):
+        assert float(jnp.abs(r).max()) > 0.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_mixer_block_eval_train_consistency():
+    """Deterministic (fused-LN) and train-mode (explicit LN, drop_path=0)
+    forwards agree — the fused block is the same math."""
+    from robustart_tpu.models.mlp_mixer import MixerBlock
+
+    rng = np.random.default_rng(20)
+    x = jnp.asarray(rng.standard_normal((2, 196, 768)) * 0.5, jnp.float32)
+    blk = MixerBlock(tokens_mlp_dim=384, channels_mlp_dim=3072, drop_path=0.0)
+    variables = blk.init(jax.random.key(0), x, deterministic=True)
+    a = blk.apply(variables, x, deterministic=True)
+    b = blk.apply(variables, x, deterministic=False,
+                  rngs={"dropout": jax.random.key(1)})
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
