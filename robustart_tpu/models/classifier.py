@@ -21,6 +21,27 @@ from flax import linen as nn
 from robustart_tpu.models.layers import IMAGENET_MEAN, IMAGENET_STD, normalize_01
 
 
+def _fused_eval_fn(module):
+    """Mirror-forward dispatch for deterministic TPU evals.
+
+    Some architectures run fastest as variable-tree mirror forwards built
+    around whole-stage Pallas programs (same pattern as the int8
+    quantizers' calibration graphs). Returns ``fn(module, variables, x)``
+    or None to use ``module.apply``.
+    """
+    from robustart_tpu.models.densenet import DenseNet
+
+    if (
+        isinstance(module, DenseNet)
+        and module.block_impl == "pallas"  # opt-in until chip-validated
+        and jax.default_backend() == "tpu"
+    ):
+        from robustart_tpu.models.densenet import fused_eval_forward
+
+        return fused_eval_forward
+    return None
+
+
 @dataclasses.dataclass
 class Classifier:
     """A model + its state, operating on [0,1] NHWC images."""
@@ -51,6 +72,9 @@ class Classifier:
                 variables, x, train=True, mutable=["batch_stats"], rngs=rngs
             )
             return logits, updates
+        fused = _fused_eval_fn(self.module)
+        if fused is not None:
+            return fused(self.module, variables, x)
         return self.module.apply(variables, x, train=False)
 
     def logits_fn(self) -> Callable[[Any, jax.Array], jax.Array]:

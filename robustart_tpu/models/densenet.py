@@ -57,10 +57,21 @@ class DenseNet(nn.Module):
     num_init_features: int = 64
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    # 'auto': deterministic TPU forwards run the whole-block Pallas kernel
+    # via the mirror eval path (models/densenet.py::fused_eval_forward —
+    # the growing concat buffer stays VMEM-resident, see
+    # ops/pallas_densenet.py); 'xla' keeps the flax module forward.
+    block_impl: str = "auto"
     # 'concat': rebuild the concatenated tensor every layer (torch-style).
     # 'buffer': preallocate each dense block's final channel extent once and
     # dynamic-update-slice each layer's growth_rate channels in place —
     # avoids rewriting the O(layers²·growth) concatenation chain through HBM.
+    # 'auto' (measured, batch 256 bf16 on chip — WORKLOG r3): the DUS write
+    # path degrades on large spatial maps (28² block: buffer 17.7 ms vs
+    # concat 14.8 in-model) while 'buffer' wins at 14²/7² — 'auto' mixes
+    # them. Default stays 'buffer' (chip-validated end to end); both are
+    # stopgaps — the real fix is block_impl='pallas' (whole-block VMEM
+    # kernel, ops/pallas_densenet.py).
     concat_impl: str = "buffer"
 
     @nn.compact
@@ -78,7 +89,16 @@ class DenseNet(nn.Module):
         x = MaxPool2d()(x)
         g = self.growth_rate
         for bi, n_layers in enumerate(self.block_config):
-            if self.concat_impl == "buffer":
+            impl = self.concat_impl
+            if impl == "auto":
+                # measured per-block deltas (densenet121, batch 256 bf16,
+                # truncated-prefix attribution on chip, WORKLOG r3):
+                # 56²: concat 9.26 ms ≈ buffer 9.36; 28²: concat 14.78 <
+                # buffer 17.69; 14²: buffer 8.45 < concat 12.57; 7²: equal.
+                # The DUS write path degrades on large spatial maps, the
+                # concat rebuild on small ones.
+                impl = "concat" if x.shape[1] * x.shape[2] >= 24 * 24 else "buffer"
+            if impl == "buffer":
                 c0 = x.shape[-1]
                 buf = jnp.zeros(
                     x.shape[:-1] + (c0 + n_layers * g,), x.dtype
@@ -112,6 +132,86 @@ class DenseNet(nn.Module):
         x = nn.relu(x)
         x = global_avg_pool(x).astype(jnp.float32)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="classifier")(x)
+
+
+def _fold_bn(p, s, eps=1e-5):
+    """Eval-mode BN → affine (exact; running stats)."""
+    inv = p["scale"] / jnp.sqrt(s["var"] + eps)
+    return inv, p["bias"] - s["mean"] * inv
+
+
+def fused_eval_forward(module: DenseNet, variables, x, *,
+                       interpret: bool = False):
+    """Mirror of ``DenseNet.__call__`` (train=False) reading the variables
+    tree directly, with every dense block running as ONE Pallas program
+    (ops/pallas_densenet.py::dense_block_pallas). Bitwise-equal weights —
+    the same pattern as the int8 quantizers' calibration graphs; parity is
+    asserted by tests/test_pallas_densenet.py.
+    """
+    from robustart_tpu.ops.pallas_densenet import dense_block_pallas
+
+    p, st = variables["params"], variables["batch_stats"]
+    dt = module.dtype
+    mid = 4 * module.growth_rate
+    x = jax.lax.conv_general_dilated(
+        x.astype(dt), p["conv0"]["kernel"].astype(dt), (2, 2),
+        [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    a, b = _fold_bn(p["norm0"], st["norm0"])
+    x = jax.nn.relu(x * a.astype(dt) + b.astype(dt))
+    x = jax.lax.reduce_window(
+        x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max, (1, 3, 3, 1),
+        (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    g = module.growth_rate
+    for bi, n_layers in enumerate(module.block_config):
+        c0 = x.shape[-1]
+        g1s, b1s, w1s, g2s, b2s, w2s = [], [], [], [], [], []
+        for li in range(n_layers):
+            c = c0 + li * g
+            lp = p[f"denseblock{bi + 1}_layer{li + 1}"]
+            ls = st[f"denseblock{bi + 1}_layer{li + 1}"]
+            a1, bb1 = _fold_bn(lp["_BNReLUConv_0"]["BatchNorm_0"],
+                               ls["_BNReLUConv_0"]["BatchNorm_0"])
+            g1s.append(a1)
+            b1s.append(bb1)
+            w1s.append(
+                lp["_BNReLUConv_0"]["Conv_0"]["kernel"].reshape(c, mid)
+            )
+            a2, bb2 = _fold_bn(lp["_BNReLUConv_1"]["BatchNorm_0"],
+                               ls["_BNReLUConv_1"]["BatchNorm_0"])
+            g2s.append(a2)
+            b2s.append(bb2)
+            w2s.append(
+                lp["_BNReLUConv_1"]["Conv_0"]["kernel"].reshape(9 * mid, g)
+            )
+        x = dense_block_pallas(
+            x,
+            jnp.concatenate(g1s).reshape(1, -1).astype(jnp.float32),
+            jnp.concatenate(b1s).reshape(1, -1).astype(jnp.float32),
+            jnp.concatenate(w1s).astype(dt),
+            jnp.stack(g2s).astype(jnp.float32),
+            jnp.stack(b2s).astype(jnp.float32),
+            jnp.concatenate(w2s).astype(dt),
+            c0=c0, growth=g, n_layers=n_layers, mid=mid,
+            interpret=interpret,
+        )
+        if bi != len(module.block_config) - 1:
+            tn = f"transition{bi + 1}"
+            a, b = _fold_bn(p[tn]["BatchNorm_0"], st[tn]["BatchNorm_0"])
+            y = jax.nn.relu(x * a.astype(dt) + b.astype(dt))
+            y = jax.lax.conv_general_dilated(
+                y, p[tn]["Conv_0"]["kernel"].astype(dt), (1, 1),
+                [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = nn.avg_pool(y, (2, 2), strides=(2, 2))
+    a, b = _fold_bn(p["norm5"], st["norm5"])
+    x = jax.nn.relu(x * a.astype(dt) + b.astype(dt))
+    x = global_avg_pool(x).astype(jnp.float32)
+    return (
+        x @ p["classifier"]["kernel"].astype(jnp.float32)
+        + p["classifier"]["bias"].astype(jnp.float32)
+    )
 
 
 def densenet121(**kw):
