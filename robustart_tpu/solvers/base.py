@@ -327,6 +327,10 @@ class Solver:
         """
         if self._eval_fn is not None:
             return self._eval_fn
+        # every eval surface funnels through here (and through
+        # maybe_quantize, which also calls it) — RepVGG gets the
+        # re-parameterized deploy form before the fn is built
+        self.maybe_deploy()
         clf = self.classifier
         mesh = self.mesh
 
@@ -499,6 +503,17 @@ class Solver:
             return quantize_repvgg(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
+        from robustart_tpu.models.shufflenet import ShuffleNetV2
+
+        if isinstance(module, ShuffleNetV2):
+            from robustart_tpu.models.quantize_shufflenet import (
+                quantize_shufflenet,
+            )
+
+            self._warn_int8_pessimization("ShuffleNetV2")
+            return quantize_shufflenet(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
         logger.warning(
             "model.quantize: int8 unsupported for %s — keeping float eval",
             type(module).__name__,
@@ -516,6 +531,9 @@ class Solver:
         "DenseNet": (None, "~40% slower than bf16 at batch 256 (f32 BN/relu "
                            "prologues + requant at small channel counts)"),
         "RegNetX": (None, "~5% slower than bf16 at batch 256"),
+        "ShuffleNetV2": (None, "depthwise-heavy like MobileNetV2; expect "
+                               "the f32 requant passes to dominate at "
+                               "small batches (not yet chip-measured)"),
     }
 
     def _warn_int8_pessimization(self, family: str) -> None:

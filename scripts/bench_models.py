@@ -37,7 +37,7 @@ DEFAULT_MODELS = [
 
 INT8_FAMILIES = (
     "ResNet", "VisionTransformer", "MobileNetV2",
-    "EfficientNet", "DenseNet", "RegNetX", "RepVGG",
+    "EfficientNet", "DenseNet", "RegNetX", "RepVGG", "ShuffleNetV2",
 )
 
 
@@ -105,6 +105,10 @@ def bench_model(name: str, batch: int) -> dict:
         elif fam == "RepVGG":
             from robustart_tpu.models.quantize_repvgg import (
                 quantize_repvgg as qf,
+            )
+        elif fam == "ShuffleNetV2":
+            from robustart_tpu.models.quantize_shufflenet import (
+                quantize_shufflenet as qf,
             )
         else:
             from robustart_tpu.models.quantize_regnet import (
