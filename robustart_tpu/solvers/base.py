@@ -357,10 +357,10 @@ class Solver:
 
         Calibrates activation scales on the first batches of ``loader`` (the
         eval distribution — corrupted images when evaluating corruptions).
-        Supported families: ResNet (models/quantize.py), ViT
-        (models/quantize_vit.py), and MobileNetV2
-        (models/quantize_mobilenet.py); others log a warning and keep the
-        float path. Eval-only: the int8 graph has no useful gradients, so
+        Supported families (models/quantize*.py): ResNet (incl. WideResNet/
+        ResNeXt), ViT/DeiT, MobileNetV2, EfficientNet, DenseNet, RegNetX/Y,
+        RepVGG (deploy form), ShuffleNetV2, MLP-Mixer, ConvNeXt (V1+V2), and
+        Swin; others log a warning and keep the float path. Eval-only: the int8 graph has no useful gradients, so
         attack solvers must not enable it. Under multi-process eval every
         rank calibrates on its own data shard, then rank 0's scales are
         broadcast so all ranks run ONE int8 model (merged results must not
@@ -512,6 +512,32 @@ class Solver:
 
             self._warn_int8_pessimization("ShuffleNetV2")
             return quantize_shufflenet(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        from robustart_tpu.models.mlp_mixer import MlpMixer
+
+        if isinstance(module, MlpMixer):
+            from robustart_tpu.models.quantize_mixer import quantize_mixer
+
+            return quantize_mixer(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        from robustart_tpu.models.convnext import ConvNeXt
+
+        if isinstance(module, ConvNeXt):
+            from robustart_tpu.models.quantize_convnext import (
+                quantize_convnext,
+            )
+
+            return quantize_convnext(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
+        from robustart_tpu.models.swin import SwinTransformer
+
+        if isinstance(module, SwinTransformer):
+            from robustart_tpu.models.quantize_swin import quantize_swin
+
+            return quantize_swin(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
         logger.warning(
