@@ -358,9 +358,10 @@ class Solver:
         Calibrates activation scales on the first batches of ``loader`` (the
         eval distribution — corrupted images when evaluating corruptions).
         Supported families (models/quantize*.py): ResNet (incl. WideResNet/
-        ResNeXt), ViT/DeiT, MobileNetV2, EfficientNet, DenseNet, RegNetX/Y,
-        RepVGG (deploy form), ShuffleNetV2, MLP-Mixer, ConvNeXt (V1+V2), and
-        Swin; others log a warning and keep the float path. Eval-only: the int8 graph has no useful gradients, so
+        ResNeXt), ViT/DeiT, MobileNetV2, MobileNetV3 (large/small),
+        EfficientNet, DenseNet, RegNetX/Y, RepVGG (deploy form),
+        ShuffleNetV2, MLP-Mixer, ConvNeXt (V1+V2), and Swin; others log a
+        warning and keep the float path. Eval-only: the int8 graph has no useful gradients, so
         attack solvers must not enable it. Under multi-process eval every
         rank calibrates on its own data shard, then rank 0's scales are
         broadcast so all ranks run ONE int8 model (merged results must not
@@ -470,6 +471,17 @@ class Solver:
             return quantize_mobilenet_v2(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
+        from robustart_tpu.models.mobilenet import MobileNetV3
+
+        if isinstance(module, MobileNetV3):
+            from robustart_tpu.models.quantize_mobilenet_v3 import (
+                quantize_mobilenet_v3,
+            )
+
+            self._warn_int8_pessimization("MobileNetV3")
+            return quantize_mobilenet_v3(
+                self.classifier, calib_images_u8, calib_batch_size=bs
+            )
         if isinstance(module, EfficientNet):
             from robustart_tpu.models.quantize_efficientnet import (
                 quantize_efficientnet,
@@ -560,6 +572,9 @@ class Solver:
         "ShuffleNetV2": (None, "depthwise-heavy like MobileNetV2; expect "
                                "the f32 requant passes to dominate at "
                                "small batches (not yet chip-measured)"),
+        "MobileNetV3": (512, "depthwise-heavy like MobileNetV2 plus f32 "
+                             "SE/hardswish epilogues; expect a similar "
+                             ">=512 crossover (not yet chip-measured)"),
     }
 
     def _warn_int8_pessimization(self, family: str) -> None:
