@@ -23,35 +23,76 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from robustart_tpu.models.layers import DenseParams, LNParams, layer_norm
+
 
 def quick_gelu(x: jax.Array) -> jax.Array:
     return x * nn.sigmoid(1.702 * x)
 
 
 class CLIPEncoderBlock(nn.Module):
+    """Pre-LN CLIP block. On TPU the two memory-bound halves run fused:
+    the attention core in ``mha_pallas`` (no (B,H,257,257) score tensor in
+    HBM) and LN2+MLP+residual in ``mlp_pallas`` (the (·, 4C) intermediate
+    stays VMEM-resident, quick-gelu in-kernel). C=1024 keeps the whole-block
+    window kernel OFF (its four resident C×C weights exceed the VMEM gate,
+    models/vit.py EncoderBlock) — CLIP-L uses the two-step fused path.
+    Param tree unchanged (DenseParams/LNParams holders)."""
+
     num_heads: int
+    # 'auto': fused Pallas kernels on TPU, XLA einsums elsewhere
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, n, c = x.shape
         head_dim = c // self.num_heads
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        ln1_scale, ln1_bias = LNParams(c, name="ln_1")()
         # head-major packed qkv (H, 3, D) — TP-friendly layout (see
         # models/vit.py Attention; converters permute from torch's 3-major)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
+        w_qkv, b_qkv = DenseParams(c, 3 * c, name="qkv")()
+        w_proj, b_proj = DenseParams(c, c, name="out_proj")()
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+        y = layer_norm(x, ln1_scale, ln1_bias, 1e-5, self.dtype)
+        qkv = jnp.dot(y.astype(self.dtype), w_qkv.astype(self.dtype))
+        qkv = qkv + b_qkv.astype(self.dtype)
         qkv = qkv.reshape(b, n, self.num_heads, 3, head_dim)
         q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
-        scale = 1.0 / np.sqrt(head_dim)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
-        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
-        y = nn.Dense(c, dtype=self.dtype, name="out_proj")(y)
+        if impl == "pallas":
+            from robustart_tpu.ops.pallas_attention import mha_pallas
+
+            y = mha_pallas(q, k, v).reshape(b, n, c)
+        else:
+            scale = 1.0 / np.sqrt(head_dim)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(
+                self.dtype
+            )
+            y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+        y = jnp.dot(y, w_proj.astype(self.dtype)) + b_proj.astype(self.dtype)
         x = x + y
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
-        y = nn.Dense(4 * c, dtype=self.dtype, name="mlp_fc")(y)
+
+        ln2_scale, ln2_bias = LNParams(c, name="ln_2")()
+        w1, b1 = DenseParams(c, 4 * c, name="mlp_fc")()
+        w2, b2 = DenseParams(4 * c, c, name="mlp_proj")()
+        if impl == "pallas":
+            from robustart_tpu.ops.pallas_mlp import mlp_pallas
+
+            return mlp_pallas(
+                x.astype(self.dtype), w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, act="quick_gelu",
+                ln=(ln2_scale, ln2_bias), ln_eps=1e-5, residual_input=True,
+            )
+        y = layer_norm(x, ln2_scale, ln2_bias, 1e-5, self.dtype)
+        y = jnp.dot(y.astype(self.dtype), w1.astype(self.dtype)) + b1.astype(
+            self.dtype
+        )
         y = quick_gelu(y)
-        y = nn.Dense(c, dtype=self.dtype, name="mlp_proj")(y)
+        y = jnp.dot(y, w2.astype(self.dtype)) + b2.astype(self.dtype)
         return x + y
 
 
@@ -62,6 +103,7 @@ class CLIPVisionClassifier(nn.Module):
     num_heads: int = 16
     embed_dim: int = 768
     num_classes: int = 1000
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -87,8 +129,9 @@ class CLIPVisionClassifier(nn.Module):
         x = x + pos.astype(x.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         for i in range(self.depth):
-            x = CLIPEncoderBlock(self.num_heads, dtype=self.dtype,
-                                 name=f"resblock{i}")(x)
+            x = CLIPEncoderBlock(self.num_heads,
+                                 attention_impl=self.attention_impl,
+                                 dtype=self.dtype, name=f"resblock{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(self.width**-0.5),

@@ -33,11 +33,13 @@ DEFAULT_MODELS = [
     "deit_tiny_b16_224", "mixer_b16_224", "mobilenet_v2",
     "efficientnet_b0", "convnext_base", "swin_base_224",
     "shufflenet_v2_x1_0", "regnetx_3200m", "densenet121", "repvgg_A0",
+    "mobilenet_v3_large_x1_0", "clip_vit_l_14",
 ]
 
 INT8_FAMILIES = (
     "ResNet", "VisionTransformer", "MobileNetV2",
     "EfficientNet", "DenseNet", "RegNetX", "RepVGG", "ShuffleNetV2",
+    "MlpMixer", "ConvNeXt", "SwinTransformer", "MobileNetV3",
 )
 
 
@@ -109,6 +111,22 @@ def bench_model(name: str, batch: int) -> dict:
         elif fam == "ShuffleNetV2":
             from robustart_tpu.models.quantize_shufflenet import (
                 quantize_shufflenet as qf,
+            )
+        elif fam == "MlpMixer":
+            from robustart_tpu.models.quantize_mixer import (
+                quantize_mixer as qf,
+            )
+        elif fam == "ConvNeXt":
+            from robustart_tpu.models.quantize_convnext import (
+                quantize_convnext as qf,
+            )
+        elif fam == "SwinTransformer":
+            from robustart_tpu.models.quantize_swin import (
+                quantize_swin as qf,
+            )
+        elif fam == "MobileNetV3":
+            from robustart_tpu.models.quantize_mobilenet_v3 import (
+                quantize_mobilenet_v3 as qf,
             )
         else:
             from robustart_tpu.models.quantize_regnet import (

@@ -105,8 +105,12 @@ def test_window_block_no_mask_grad_is_none_safe():
 
 
 def _interp_patches(pa):
-    """Wrap both Swin Pallas entry points with interpret=True versions."""
+    """Wrap the Pallas entry points (attention + MLP — impl='pallas' routes
+    the MLP half through mlp_pallas too) with interpret=True versions."""
+    from robustart_tpu.ops import pallas_mlp as pm
+
     orig_mha, orig_blk = pa.window_mha_pallas, pa.window_block_pallas
+    orig_mlp = pm.mlp_pallas
 
     def mha(q, k, v, rel_bias, mask=None, *, num_windows=1, interpret=False):
         return orig_mha(q, k, v, rel_bias, mask, num_windows=num_windows,
@@ -116,7 +120,12 @@ def _interp_patches(pa):
         kw["interpret"] = True
         return orig_blk(*a, **kw)
 
-    return orig_mha, orig_blk, mha, blk
+    def mlp(*a, **kw):
+        kw["interpret"] = True
+        return orig_mlp(*a, **kw)
+
+    pm.mlp_pallas = mlp
+    return orig_mha, orig_blk, orig_mlp, mha, blk
 
 
 def test_swin_module_fused_block_matches_xla():
@@ -138,7 +147,8 @@ def test_swin_module_fused_block_matches_xla():
 
     ref = module.clone(attention_impl="xla").apply(clf.variables, xn,
                                                    train=False)
-    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
+    from robustart_tpu.ops import pallas_mlp as pm
+    orig_mha, orig_blk, orig_mlp, mha, blk = _interp_patches(pa)
     pa.window_mha_pallas, pa.window_block_pallas = mha, blk
     try:
         got = module.clone(attention_impl="pallas").apply(
@@ -146,6 +156,7 @@ def test_swin_module_fused_block_matches_xla():
         )
     finally:
         pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
+        pm.mlp_pallas = orig_mlp
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
@@ -172,12 +183,14 @@ def test_swin_module_fused_block_param_grads_match_xla():
         )
         return jnp.sum(out * out)
 
-    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
+    from robustart_tpu.ops import pallas_mlp as pm
+    orig_mha, orig_blk, orig_mlp, mha, blk = _interp_patches(pa)
     pa.window_mha_pallas, pa.window_block_pallas = mha, blk
     try:
         g_pallas = jax.grad(loss)(clf.variables["params"], "pallas")
     finally:
         pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
+        pm.mlp_pallas = orig_mlp
     g_ref = jax.grad(loss)(clf.variables["params"], "xla")
 
     flat_r = {jax.tree_util.keystr(k): v
@@ -215,7 +228,8 @@ def test_vit_module_fused_block_matches_xla():
         patch_size=8, embed_dim=128, depth=2, num_heads=4, num_classes=10,
         drop_path=0.0, attention_impl="pallas",
     )
-    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
+    from robustart_tpu.ops import pallas_mlp as pm
+    orig_mha, orig_blk, orig_mlp, mha, blk = _interp_patches(pa)
     pa.window_mha_pallas, pa.window_block_pallas = mha, blk
     try:
         got = fused_mod.apply(v, xn, train=False)
@@ -223,6 +237,7 @@ def test_vit_module_fused_block_matches_xla():
             fused_mod.apply(v, xi, train=False) ** 2))(xn)
     finally:
         pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
+        pm.mlp_pallas = orig_mlp
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
