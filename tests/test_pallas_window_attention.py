@@ -138,14 +138,10 @@ def test_swin_module_bias_table_param_grad_nonzero():
         )
         return jnp.sum(out * out)
 
-    from tests.test_pallas_window_block import _interp_patches
+    from tests.test_pallas_window_block import interp_pallas
 
-    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
-    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
-    try:
+    with interp_pallas(pa):
         g_pallas = jax.grad(loss)(clf.variables["params"], "pallas")
-    finally:
-        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
     g_ref = jax.grad(loss)(clf.variables["params"], "xla")
 
     flat_p = jax.tree_util.tree_leaves_with_path(g_pallas)
@@ -182,15 +178,11 @@ def test_swin_module_pallas_impl_matches_xla():
 
     ref = module.clone(attention_impl="xla").apply(clf.variables, xn,
                                                    train=False)
-    from tests.test_pallas_window_block import _interp_patches
+    from tests.test_pallas_window_block import interp_pallas
 
-    orig_mha, orig_blk, mha, blk = _interp_patches(pa)
-    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
-    try:
+    with interp_pallas(pa):
         got = module.clone(attention_impl="pallas").apply(
             clf.variables, xn, train=False
         )
-    finally:
-        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)

@@ -5,6 +5,8 @@ batching, mask indexing, and exact gradients for every input.
 Runs on CPU via the TPU-semantics interpreter (CLAUDE.md).
 """
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,9 +106,12 @@ def test_window_block_no_mask_grad_is_none_safe():
     assert float(jnp.abs(g).max()) > 0.0
 
 
-def _interp_patches(pa):
-    """Wrap the Pallas entry points (attention + MLP — impl='pallas' routes
-    the MLP half through mlp_pallas too) with interpret=True versions."""
+@contextlib.contextmanager
+def interp_pallas(pa):
+    """Patch ALL the transformer Pallas entry points (window attention,
+    whole-block kernel, and the fused MLP — impl='pallas' routes the MLP
+    half through mlp_pallas too) with interpret=True versions for CPU runs;
+    restores them on exit. Shared with test_pallas_window_attention.py."""
     from robustart_tpu.ops import pallas_mlp as pm
 
     orig_mha, orig_blk = pa.window_mha_pallas, pa.window_block_pallas
@@ -124,8 +129,13 @@ def _interp_patches(pa):
         kw["interpret"] = True
         return orig_mlp(*a, **kw)
 
+    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
     pm.mlp_pallas = mlp
-    return orig_mha, orig_blk, orig_mlp, mha, blk
+    try:
+        yield
+    finally:
+        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
+        pm.mlp_pallas = orig_mlp
 
 
 def test_swin_module_fused_block_matches_xla():
@@ -147,16 +157,10 @@ def test_swin_module_fused_block_matches_xla():
 
     ref = module.clone(attention_impl="xla").apply(clf.variables, xn,
                                                    train=False)
-    from robustart_tpu.ops import pallas_mlp as pm
-    orig_mha, orig_blk, orig_mlp, mha, blk = _interp_patches(pa)
-    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
-    try:
+    with interp_pallas(pa):
         got = module.clone(attention_impl="pallas").apply(
             clf.variables, xn, train=False
         )
-    finally:
-        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
-        pm.mlp_pallas = orig_mlp
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
@@ -183,14 +187,8 @@ def test_swin_module_fused_block_param_grads_match_xla():
         )
         return jnp.sum(out * out)
 
-    from robustart_tpu.ops import pallas_mlp as pm
-    orig_mha, orig_blk, orig_mlp, mha, blk = _interp_patches(pa)
-    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
-    try:
+    with interp_pallas(pa):
         g_pallas = jax.grad(loss)(clf.variables["params"], "pallas")
-    finally:
-        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
-        pm.mlp_pallas = orig_mlp
     g_ref = jax.grad(loss)(clf.variables["params"], "xla")
 
     flat_r = {jax.tree_util.keystr(k): v
@@ -228,16 +226,10 @@ def test_vit_module_fused_block_matches_xla():
         patch_size=8, embed_dim=128, depth=2, num_heads=4, num_classes=10,
         drop_path=0.0, attention_impl="pallas",
     )
-    from robustart_tpu.ops import pallas_mlp as pm
-    orig_mha, orig_blk, orig_mlp, mha, blk = _interp_patches(pa)
-    pa.window_mha_pallas, pa.window_block_pallas = mha, blk
-    try:
+    with interp_pallas(pa):
         got = fused_mod.apply(v, xn, train=False)
         g_got = jax.grad(lambda xi: jnp.sum(
             fused_mod.apply(v, xi, train=False) ** 2))(xn)
-    finally:
-        pa.window_mha_pallas, pa.window_block_pallas = orig_mha, orig_blk
-        pm.mlp_pallas = orig_mlp
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
