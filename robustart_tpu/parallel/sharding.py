@@ -41,8 +41,11 @@ def dp_spec(ndim: int, axis: int = 0) -> P:
 # matmul of an attention/MLP pair splits its OUTPUT features, the second
 # splits its INPUT features, so the intermediate activation stays sharded
 # and the only collective is the psum closing the pair.
-_TP_COL = frozenset({"qkv", "fc1", "pwconv1"})
-_TP_ROW = frozenset({"proj", "fc2", "pwconv2"})
+#   fc1/fc2: ViT+Mixer MLPs; mlp_fc1/mlp_fc2: Swin; mlp_fc/mlp_proj +
+#   out_proj: CLIP; pwconv1/pwconv2: ConvNeXt pointwise pair
+_TP_COL = frozenset({"qkv", "fc1", "pwconv1", "mlp_fc1", "mlp_fc"})
+_TP_ROW = frozenset({"proj", "fc2", "pwconv2", "mlp_fc2", "mlp_proj",
+                     "out_proj"})
 
 
 def tp_param_spec(path: tuple, value) -> P:

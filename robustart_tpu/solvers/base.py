@@ -313,6 +313,16 @@ class Solver:
         if self.tensor_parallel > 1:
             from robustart_tpu.parallel.sharding import shard_params
 
+            module = self.classifier.module
+            if (
+                hasattr(module, "attention_impl")
+                and "attention_impl" not in (mcfg.get("kwargs") or {})
+            ):
+                # the fused Pallas kernels consume whole weight arrays, so a
+                # model-sharded kernel would be all-gathered at every call —
+                # under TP the einsum path is the one the Megatron col/row
+                # sharding actually accelerates (config kwargs can override)
+                self.classifier.module = module.clone(attention_impl="xla")
             self.classifier.variables = shard_params(
                 self.classifier.variables, self.mesh
             )

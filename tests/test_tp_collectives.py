@@ -60,9 +60,17 @@ def test_tp_param_specs_follow_megatron_pairing():
     assert tp_param_spec((K("mlp"), K("fc2"), K("kernel")), v2) == P("model", None)
     assert tp_param_spec((K("b"), K("pwconv1"), K("kernel")), v2) == P(None, "model")
     assert tp_param_spec((K("b"), K("pwconv2"), K("kernel")), v2) == P("model", None)
+    # Swin MLP and CLIP naming (mlp_fc1/mlp_fc2, mlp_fc/mlp_proj/out_proj)
+    assert tp_param_spec((K("b"), K("mlp_fc1"), K("kernel")), v2) == P(None, "model")
+    assert tp_param_spec((K("b"), K("mlp_fc2"), K("kernel")), v2) == P("model", None)
+    assert tp_param_spec((K("r"), K("mlp_fc"), K("kernel")), v2) == P(None, "model")
+    assert tp_param_spec((K("r"), K("mlp_proj"), K("kernel")), v2) == P("model", None)
+    assert tp_param_spec((K("r"), K("out_proj"), K("kernel")), v2) == P("model", None)
     # biases: col-sharded layers shard theirs, row-sharded don't
     assert tp_param_spec((K("a"), K("qkv"), K("bias")), v1) == P("model")
     assert tp_param_spec((K("a"), K("proj"), K("bias")), v1) == P()
+    assert tp_param_spec((K("b"), K("mlp_fc1"), K("bias")), v1) == P("model")
+    assert tp_param_spec((K("r"), K("out_proj"), K("bias")), v1) == P()
     # head / embeddings replicated
     assert tp_param_spec((K("head"), K("kernel")), v2) == P()
 
@@ -82,6 +90,67 @@ def test_vit_tp2_no_allgather_one_psum_per_pair(vit_b_tp):
 
 def test_vit_tp2_matches_replicated_forward(vit_b_tp):
     clf, variables, x, xs = vit_b_tp
+    ref = clf.apply_fn(clf.variables, x, train=False)
+    got = clf.apply_fn(variables, xs, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_swin_mini_tp2_no_allgather():
+    """Swin's MLP pair (mlp_fc1/mlp_fc2) and attention pair (qkv/proj) are
+    both covered by the Megatron rule: the tp=2 forward compiles with zero
+    all-gathers and ~2 psums per block."""
+    from robustart_tpu.models.classifier import init_classifier
+    from robustart_tpu.models.swin import SwinTransformer
+
+    module = SwinTransformer(
+        embed_dim=128, depths=(2,), num_heads=(4,), window_size=7,
+        num_classes=10, attention_impl="xla",
+    )
+    clf = init_classifier("swin_mini_tp", module, rng=0, input_size=56)
+    mesh = get_mesh(("data", "model"), mesh_shape=(4, 2))
+    variables = shard_params(clf.variables, mesh)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (8, 56, 56, 3)), jnp.float32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    hlo = _compiled_hlo(clf, variables, xs)
+    n_ag = len(re.findall(r"all-gather", hlo))
+    n_ar = len(re.findall(r"all-reduce(?:-start)?\(", hlo))
+    assert n_ag == 0, f"unexpected all-gathers in Swin TP forward: {n_ag}"
+    assert 2 <= n_ar <= 6, f"all-reduce count {n_ar} not ~2/block (2 blocks)"
+
+    ref = clf.apply_fn(clf.variables, x, train=False)
+    got = clf.apply_fn(variables, xs, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_clip_mini_tp2_no_allgather():
+    """CLIP's qkv/out_proj and mlp_fc/mlp_proj pairs follow the Megatron
+    rule under tp=2."""
+    from robustart_tpu.models.classifier import init_classifier
+    from robustart_tpu.models.clip_vit import CLIPVisionClassifier
+
+    module = CLIPVisionClassifier(
+        patch_size=14, width=128, depth=2, num_heads=4, embed_dim=32,
+        num_classes=10, attention_impl="xla",
+    )
+    clf = init_classifier("clip_mini_tp", module, rng=0, input_size=56)
+    mesh = get_mesh(("data", "model"), mesh_shape=(4, 2))
+    variables = shard_params(clf.variables, mesh)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (8, 56, 56, 3)), jnp.float32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    hlo = _compiled_hlo(clf, variables, xs)
+    n_ag = len(re.findall(r"all-gather", hlo))
+    n_ar = len(re.findall(r"all-reduce(?:-start)?\(", hlo))
+    assert n_ag == 0, f"unexpected all-gathers in CLIP TP forward: {n_ag}"
+    assert 2 <= n_ar <= 6, f"all-reduce count {n_ar} not ~2/block (2 blocks)"
+
     ref = clf.apply_fn(clf.variables, x, train=False)
     got = clf.apply_fn(variables, xs, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
