@@ -64,7 +64,7 @@ class ImageNetEvaluator(Evaluator):
     def run_from_args(self, args) -> dict:
         """Offline CLI body (reference imagenetc_evaluator.py:77-94 hooks)."""
         out = {}
-        for res_file in args.res_file:
+        for res_file in args.res_file or []:
             out[res_file] = dict(self.eval(res_file).metric)
         return out
 
@@ -117,7 +117,7 @@ class ImageNetAEvaluator(Evaluator):
 
     def run_from_args(self, args) -> dict:
         out = {}
-        for res_file in args.res_file:
+        for res_file in args.res_file or []:
             out[res_file] = self.eval(res_file)
         out.update(self.get_mean())
         return out

@@ -57,10 +57,11 @@ class DenseNet(nn.Module):
     num_init_features: int = 64
     num_classes: int = 1000
     dtype: Any = jnp.float32
-    # 'auto': deterministic TPU forwards run the whole-block Pallas kernel
-    # via the mirror eval path (models/densenet.py::fused_eval_forward —
-    # the growing concat buffer stays VMEM-resident, see
-    # ops/pallas_densenet.py); 'xla' keeps the flax module forward.
+    # 'pallas' (opt-in): deterministic TPU forwards run the whole-block
+    # Pallas kernel via the mirror eval path (fused_eval_forward — the
+    # growing concat buffer stays VMEM-resident, ops/pallas_densenet.py).
+    # 'auto' currently equals 'xla' (the flax module forward): the kernel
+    # stays opt-in until chip-validated (classifier.py gates on == 'pallas').
     block_impl: str = "auto"
     # 'concat': rebuild the concatenated tensor every layer (torch-style).
     # 'buffer': preallocate each dense block's final channel extent once and

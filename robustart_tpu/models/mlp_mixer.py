@@ -26,6 +26,10 @@ class MixerMlp(nn.Module):
     hidden_dim: int
     dtype: Any = jnp.float32
     mix_axis: int = -1  # 1 = token axis of (B, T, C), transpose-free on TPU
+    # 'auto': fused Pallas kernels on TPU, XLA einsums elsewhere; 'xla'
+    # forces einsums (tensor-parallel runs need it — the fused kernels
+    # consume whole weight arrays, which would all-gather sharded kernels)
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -39,7 +43,10 @@ class MixerMlp(nn.Module):
         dim = x.shape[self.mix_axis]
         w1, b1 = DenseParams(dim, self.hidden_dim, name="fc1")()
         w2, b2 = DenseParams(self.hidden_dim, dim, name="fc2")()
-        on_tpu = jax.default_backend() == "tpu"
+        impl = self.mlp_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        on_tpu = impl == "pallas"
         raw = x  # pre-norm input (the residual when residual_input)
         if self.mix_axis == 1:
             if on_tpu:
@@ -95,6 +102,7 @@ class MixerBlock(nn.Module):
     tokens_mlp_dim: int
     channels_mlp_dim: int
     drop_path: float = 0.0
+    mlp_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -103,9 +111,9 @@ class MixerBlock(nn.Module):
         ln1 = LNParams(c, name="norm1")()
         ln2 = LNParams(c, name="norm2")()
         tok = MixerMlp(self.tokens_mlp_dim, dtype=self.dtype, mix_axis=1,
-                       name="mlp_tokens")
+                       mlp_impl=self.mlp_impl, name="mlp_tokens")
         ch = MixerMlp(self.channels_mlp_dim, dtype=self.dtype,
-                      name="mlp_channels")
+                      mlp_impl=self.mlp_impl, name="mlp_channels")
         if deterministic:
             # DropPath at eval is the identity — LN prologue, MLP, and the
             # residual all run in ONE kernel per mix (zero standalone
@@ -127,6 +135,7 @@ class MlpMixer(nn.Module):
     channels_mlp_dim: int = 3072
     num_classes: int = 1000
     drop_path: float = 0.0
+    mlp_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -147,6 +156,7 @@ class MlpMixer(nn.Module):
                 self.tokens_mlp_dim,
                 self.channels_mlp_dim,
                 drop_path=self.drop_path,
+                mlp_impl=self.mlp_impl,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, deterministic=deterministic)

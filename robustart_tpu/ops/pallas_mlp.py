@@ -411,9 +411,12 @@ def _token_mlp_impl(x, w1, b1, w2, b2, shortcut, lns, lnb, *, act: str,
             pl.BlockSpec((t, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             s_spec,
-            pl.BlockSpec((1, tc), lambda i, j: (0, j),
+            # has_ln forces tc == c (one channel block), so index (0, 0) is
+            # the whole LN vector; without LN the zeros placeholder is a
+            # single (1, tc) block — (0, j) would read past it when c > tc
+            pl.BlockSpec((1, tc), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc), lambda i, j: (0, j),
+            pl.BlockSpec((1, tc), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t, tc), lambda i, j: (i, 0, j),

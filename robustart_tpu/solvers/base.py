@@ -146,6 +146,25 @@ def select_eval_variables(ckpt: dict, use_ema: bool | None = None) -> Any:
 TORCH_CKPT_EXTS = (".pth", ".pth.tar", ".pt", ".bin")
 
 
+def newest_checkpoint(ckpt_dir: str) -> str:
+    """Newest checkpoint file in a directory (``--ckpt-filePath <dir>``).
+
+    Prefers the framework's own ``*.msgpack`` saves over torch warm-start
+    files sitting in the same dir, then picks by mtime — lexicographic
+    order would rank ``ckpt_e9`` after ``ckpt_e10`` and ``.pth`` after
+    ``.msgpack``.
+    """
+    own = [f for f in os.listdir(ckpt_dir) if f.endswith(".msgpack")]
+    cands = own or [
+        f for f in os.listdir(ckpt_dir) if f.endswith(TORCH_CKPT_EXTS)
+    ]
+    if not cands:
+        raise FileNotFoundError(
+            f"no checkpoint (*.msgpack or torch) in {ckpt_dir}"
+        )
+    return max((osp.join(ckpt_dir, f) for f in cands), key=osp.getmtime)
+
+
 def load_eval_variables(path: str, classifier, use_ema: bool | None = None):
     """Load eval weights from OUR msgpack layout or a FOREIGN torch
     checkpoint, mirroring the reference's own resume tolerance — dicts keyed
@@ -314,15 +333,19 @@ class Solver:
             from robustart_tpu.parallel.sharding import shard_params
 
             module = self.classifier.module
-            if (
-                hasattr(module, "attention_impl")
-                and "attention_impl" not in (mcfg.get("kwargs") or {})
-            ):
-                # the fused Pallas kernels consume whole weight arrays, so a
-                # model-sharded kernel would be all-gathered at every call —
-                # under TP the einsum path is the one the Megatron col/row
-                # sharding actually accelerates (config kwargs can override)
-                self.classifier.module = module.clone(attention_impl="xla")
+            # the fused Pallas kernels consume whole weight arrays, so a
+            # model-sharded kernel would be all-gathered at every call —
+            # under TP the einsum path is the one the Megatron col/row
+            # sharding actually accelerates (config kwargs can override).
+            # attention_impl: ViT/Swin/CLIP; mlp_impl: ConvNeXt/Mixer.
+            user_kw = mcfg.get("kwargs") or {}
+            force_xla = {
+                knob: "xla"
+                for knob in ("attention_impl", "mlp_impl")
+                if hasattr(module, knob) and knob not in user_kw
+            }
+            if force_xla:
+                self.classifier.module = module.clone(**force_xla)
             self.classifier.variables = shard_params(
                 self.classifier.variables, self.mesh
             )

@@ -39,6 +39,7 @@ from robustart_tpu.solvers.base import (
     Solver,
     load_checkpoint,
     load_eval_variables,
+    newest_checkpoint,
     save_checkpoint,
     standard_solver_argparser,
 )
@@ -400,11 +401,7 @@ class ClsSolver(Solver):
             self.build_model(seed=int(cfg.get("seed", 0)))
         if ckpt_path:
             if osp.isdir(ckpt_path):
-                cands = sorted(
-                    f for f in os.listdir(ckpt_path)
-                    if f.endswith((".msgpack",) + TORCH_CKPT_EXTS)
-                )
-                ckpt_path = osp.join(ckpt_path, cands[-1])
+                ckpt_path = newest_checkpoint(ckpt_path)
             # tolerant of foreign torch layouts ({state_dict|model|net|raw}
             # + module. strip) like the reference's own resume path
             # (reference cifar10/code/test_cifar_c.py:169-187)

@@ -61,3 +61,32 @@ def test_latest_checkpoint_msgpack(tmp_path, payload):
     time.sleep(0.05)
     save_any(str(d / "b.msgpack"), payload)
     assert latest_checkpoint(str(d)).endswith("b.msgpack")
+
+
+def test_newest_checkpoint_prefers_msgpack_by_mtime(tmp_path):
+    """--ckpt-filePath <dir> must pick the newest TRAINED checkpoint: own
+    msgpack saves win over stray torch warm-start files, and recency is by
+    mtime (lexicographic order ranks ckpt_e9 after ckpt_e10 and .pth after
+    .msgpack)."""
+    import os
+    import time as _time
+
+    from robustart_tpu.solvers.base import newest_checkpoint
+
+    d = str(tmp_path)
+    for i, name in enumerate(
+        ["ckpt_e9.msgpack", "ckpt_e10.msgpack", "warmstart.pth"]
+    ):
+        p = os.path.join(d, name)
+        with open(p, "wb") as f:
+            f.write(b"x")
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    # e10 written after e9; the .pth is newest of all but must lose
+    assert newest_checkpoint(d).endswith("ckpt_e10.msgpack")
+
+    import pytest
+
+    for f in os.listdir(d):
+        os.remove(os.path.join(d, f))
+    with pytest.raises(FileNotFoundError):
+        newest_checkpoint(d)

@@ -313,3 +313,20 @@ def test_mixer_block_eval_train_consistency():
                   rngs={"dropout": jax.random.key(1)})
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_token_mlp_no_ln_wide_channels_multiblock():
+    """c > 512 without LN streams channels in 512-wide blocks; the zero LN
+    placeholder is a single block and must be indexed at (0, 0) for every
+    grid step (regression: (0, j) read past the placeholder — the
+    train-mode mixer_b16 shape, C=768)."""
+    from robustart_tpu.ops.pallas_mlp import (
+        token_mlp_pallas,
+        token_mlp_reference,
+    )
+
+    x, w1, b1, w2, b2 = _token_data(b=1, t=32, c=768, h=64, seed=11)
+    ref = token_mlp_reference(x, w1, b1, w2, b2)
+    got = token_mlp_pallas(x, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
