@@ -31,12 +31,14 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 
 
 class CLIPEncoderBlock(nn.Module):
-    """Pre-LN CLIP block. On TPU the two memory-bound halves run fused:
-    the attention core in ``mha_pallas`` (no (B,H,257,257) score tensor in
-    HBM) and LN2+MLP+residual in ``mlp_pallas`` (the (·, 4C) intermediate
-    stays VMEM-resident, quick-gelu in-kernel). C=1024 keeps the whole-block
-    window kernel OFF (its four resident C×C weights exceed the VMEM gate,
-    models/vit.py EncoderBlock) — CLIP-L uses the two-step fused path.
+    """Pre-LN CLIP block. On TPU both halves run fused: the attention half
+    in the whole-block window kernel (LN1 + qkv + attention + out_proj +
+    residual in one VMEM program, one 257-token "window" per image —
+    CLIP-L's C=1024 streams the weights in two head groups,
+    ops/pallas_attention.py::block_kernel_head_groups) and LN2+MLP+residual
+    in ``mlp_pallas`` (the (·, 4C) intermediate stays VMEM-resident,
+    quick-gelu in-kernel). Widths the block kernel cannot take (lane-
+    misaligned C) fall back to ``mha_pallas`` + XLA matmuls.
     Param tree unchanged (DenseParams/LNParams holders)."""
 
     num_heads: int
@@ -56,25 +58,51 @@ class CLIPEncoderBlock(nn.Module):
         impl = self.attention_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-
-        y = layer_norm(x, ln1_scale, ln1_bias, 1e-5, self.dtype)
-        qkv = jnp.dot(y.astype(self.dtype), w_qkv.astype(self.dtype))
-        qkv = qkv + b_qkv.astype(self.dtype)
-        qkv = qkv.reshape(b, n, self.num_heads, 3, head_dim)
-        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
+        blockable = False
         if impl == "pallas":
-            from robustart_tpu.ops.pallas_attention import mha_pallas
+            from robustart_tpu.ops.pallas_attention import (
+                block_kernel_head_groups,
+            )
 
-            y = mha_pallas(q, k, v).reshape(b, n, c)
+            blockable = block_kernel_head_groups(
+                c, self.num_heads, jnp.dtype(self.dtype).itemsize
+            ) is not None
+        if blockable:
+            from robustart_tpu.ops.pallas_attention import window_block_pallas
+
+            dt = self.dtype
+            wr = w_qkv.reshape(c, self.num_heads, 3, head_dim)
+            br = b_qkv.reshape(self.num_heads, 3, head_dim)
+            x = window_block_pallas(
+                x.astype(dt), ln1_scale, ln1_bias,
+                wr[:, :, 0].reshape(c, c).astype(dt), br[:, 0].reshape(c),
+                wr[:, :, 1].reshape(c, c).astype(dt), br[:, 1].reshape(c),
+                wr[:, :, 2].reshape(c, c).astype(dt), br[:, 2].reshape(c),
+                w_proj.astype(dt), b_proj,
+                jnp.zeros((self.num_heads, 1, 1), jnp.float32),
+                None, num_windows=1, eps=1e-5,
+            )
         else:
-            scale = 1.0 / np.sqrt(head_dim)
-            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(
+            y = layer_norm(x, ln1_scale, ln1_bias, 1e-5, self.dtype)
+            qkv = jnp.dot(y.astype(self.dtype), w_qkv.astype(self.dtype))
+            qkv = qkv + b_qkv.astype(self.dtype)
+            qkv = qkv.reshape(b, n, self.num_heads, 3, head_dim)
+            q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
+            if impl == "pallas":
+                from robustart_tpu.ops.pallas_attention import mha_pallas
+
+                y = mha_pallas(q, k, v).reshape(b, n, c)
+            else:
+                scale = 1.0 / np.sqrt(head_dim)
+                attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+                attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(
+                    self.dtype
+                )
+                y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+            y = jnp.dot(y, w_proj.astype(self.dtype)) + b_proj.astype(
                 self.dtype
             )
-            y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
-        y = jnp.dot(y, w_proj.astype(self.dtype)) + b_proj.astype(self.dtype)
-        x = x + y
+            x = x + y
 
         ln2_scale, ln2_bias = LNParams(c, name="ln_2")()
         w1, b1 = DenseParams(c, 4 * c, name="mlp_fc")()

@@ -184,19 +184,23 @@ class SwinBlock(nn.Module):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         # fused block half (LN + qkv + attention + proj + residual in one
-        # VMEM program): gated to lane-aligned C (Mosaic cannot shape-cast
-        # the (wpb, N, C)→(wpb·N, C) collapse unless C % 128 == 0 — hits
-        # swin_tiny/small at C=96/192) where the four resident C×C weight
-        # blocks fit the VMEM budget (~5 MB bf16 → stages 0-2 of swin_base;
-        # the C=1024 stage keeps the two-step path)
+        # VMEM program): the head-group policy gates it — lane-aligned C
+        # required (Mosaic cannot shape-cast the (wpb, N, C)→(wpb·N, C)
+        # collapse unless C % 128 == 0 — hits swin_tiny/small at C=96/192);
+        # stages 0-2 of swin_base hold all weights resident (G=1), the
+        # C=1024 stage streams them in two head groups
+        from robustart_tpu.ops.pallas_attention import (
+            block_kernel_head_groups,
+        )
+
         itemsize = jnp.dtype(self.dtype).itemsize
         # drop_path == 0 ⇒ DropPath is the identity even in train mode, so
         # dropout-free training (the reference adv-train recipes) runs the
         # fused kernels too (VERDICT r2 weak-6); Swin has no other dropout
         fused = (
             impl == "pallas" and (deterministic or self.drop_path == 0.0)
-            and c % 128 == 0
-            and 4 * c * c * itemsize <= 5 * 2**20
+            and block_kernel_head_groups(c, self.num_heads, itemsize)
+            is not None
         )
         if fused:
             y = (

@@ -188,9 +188,13 @@ class EncoderBlock(nn.Module):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         # fused block half (LN + qkv + attention + proj + residual in one
-        # VMEM program, see models/swin.py SwinBlock): gated to C where the
-        # four resident C×C weight blocks fit the VMEM budget — ViT-B bf16
-        # (4.7 MB) qualifies, ViT-L/CLIP-L (8 MB) keep the two-step path
+        # VMEM program, see models/swin.py SwinBlock): the policy picks the
+        # head-group count — ViT-B bf16 holds all weights resident (G=1),
+        # ViT-L streams them in two head groups; lane-misaligned C → None
+        from robustart_tpu.ops.pallas_attention import (
+            block_kernel_head_groups,
+        )
+
         itemsize = jnp.dtype(self.dtype).itemsize
         # all-zero stochastic rates ⇒ train-mode forward is deterministic
         # anyway, so dropout-free training (the reference new_adv_train vit
@@ -201,8 +205,8 @@ class EncoderBlock(nn.Module):
         )
         fused = (
             impl == "pallas" and (deterministic or rates_zero)
-            and c % 128 == 0  # Mosaic (wpb·N, C) collapse needs lane-aligned C
-            and 4 * c * c * itemsize <= 5 * 2**20
+            and block_kernel_head_groups(c, self.num_heads, itemsize)
+            is not None
         )
         if fused:
             x = attn(x, deterministic=True,

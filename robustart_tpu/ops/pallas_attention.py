@@ -400,97 +400,200 @@ def _window_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
     o_ref[:] = y.reshape(wpb, n, c).astype(o_ref.dtype)
 
 
+def _window_block_hg_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                            bk_ref, wv_ref, bv_ref, wp_ref, bp_ref, b_ref,
+                            m_ref, o_ref, acc_ref, attn_ref, *, scale: float,
+                            with_mask: bool, group_heads: int, head_dim: int,
+                            n: int, wpb: int, eps: float, n_groups: int):
+    """Head-grouped variant: grid (programs, groups) with the group axis
+    innermost — each step holds only this group's weight slices (4C²/G
+    bytes) and accumulates its proj partial into an f32 scratch; the output
+    block is written once on the last group. Head-major qkv packing makes a
+    head group a contiguous column slice (the TP layout, models/vit.py)."""
+    g = pl.program_id(1)
+    c = x_ref.shape[2]
+    gc = group_heads * head_dim
+    xw = x_ref[:].reshape(wpb * n, c)
+    xn = _ln_f32(xw, lns_ref[0], lnb_ref[0], eps).astype(xw.dtype)
+
+    def branch(w_ref2, b_ref2):
+        out = jax.lax.dot_general(
+            xn, w_ref2[:].astype(xn.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref2[0].astype(jnp.float32)
+        return out.astype(xn.dtype)
+
+    q = branch(wq_ref, bq_ref)  # (wpb·n, gc)
+    k = branch(wk_ref, bk_ref)
+    v = branch(wv_ref, bv_ref)
+    d = head_dim
+    for w in range(wpb):
+        rows = slice(w * n, (w + 1) * n)
+        qw = q[rows].astype(jnp.float32)
+        kw = k[rows].astype(jnp.float32)
+        vw = v[rows]
+        maskw = m_ref[w].astype(jnp.float32) if with_mask else None
+        for hh in range(group_heads):
+            cols = slice(hh * d, (hh + 1) * d)
+            s = jax.lax.dot_general(
+                qw[:, cols] * scale, kw[:, cols],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + b_ref[hh].astype(jnp.float32)
+            if with_mask:
+                s = s + maskw
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            attn_ref[rows, cols] = jnp.dot(
+                p.astype(vw.dtype), vw[:, cols],
+                preferred_element_type=jnp.float32,
+            ).astype(attn_ref.dtype)
+    y = jax.lax.dot_general(
+        attn_ref[:], wp_ref[:].astype(xw.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(g == 0)
+    def _init():
+        acc_ref[:] = xw.astype(jnp.float32) + bp_ref[0].astype(jnp.float32) + y
+
+    @pl.when(g > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + y
+
+    @pl.when(g == n_groups - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].reshape(wpb, n, c).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "num_windows", "eps", "wpb", "interpret"),
+    static_argnames=("num_heads", "num_windows", "eps", "wpb",
+                     "head_groups", "interpret"),
 )
 def _window_block_impl(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
                        rel_bias, mask, *, num_heads: int, num_windows: int,
-                       eps: float, wpb: int, interpret: bool = False):
+                       eps: float, wpb: int, head_groups: int = 1,
+                       interpret: bool = False):
     bnw, n, c = x.shape
     d = c // num_heads
     scale = 1.0 / np.sqrt(d)
     with_mask = mask is not None
+    hg = head_groups
+    gh = num_heads // hg  # heads per group
+    gc = gh * d  # columns per group
 
     def row(v):
         return v.reshape(1, -1)
 
-    in_specs = [
-        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [x, row(ln_scale), row(ln_bias)]
-    for w_, b_ in ((wq, bq), (wk, bk), (wv, bv), (wp, bp)):
-        in_specs += [
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
-        args += [w_, row(b_)]
-    in_specs.append(
-        # (H, N, N) rel-bias table, or (H, 1, 1) broadcast-zeros for plain
-        # (ViT-style) attention without a relative bias
-        pl.BlockSpec((num_heads, rel_bias.shape[1], rel_bias.shape[2]),
-                     lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
-    )
-    args.append(rel_bias)
-    if with_mask:
-        in_specs.append(
-            pl.BlockSpec((wpb, n, n),
-                         lambda i: (i % (num_windows // wpb), 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        args.append(mask)
-    else:
-        in_specs.append(
-            pl.BlockSpec((wpb, n, n), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        args.append(jnp.zeros((wpb, n, n), jnp.float32))
-    return pl.pallas_call(
-        functools.partial(
+    if hg == 1:
+        x_spec = pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        const2 = lambda i: (0, 0)  # noqa: E731
+        w_in_spec = pl.BlockSpec((c, c), const2, memory_space=pltpu.VMEM)
+        b_in_spec = pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM)
+        wp_spec, bp_spec = w_in_spec, b_in_spec
+        bias_spec = pl.BlockSpec(
+            (num_heads, rel_bias.shape[1], rel_bias.shape[2]),
+            lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        mask_map = (lambda i: (i % (num_windows // wpb), 0, 0)) if with_mask \
+            else (lambda i: (0, 0, 0))
+        grid = (bnw // wpb,)
+        kernel = functools.partial(
             _window_block_kernel, scale=scale, with_mask=with_mask,
             num_heads=num_heads, head_dim=d, n=n, wpb=wpb, eps=eps,
-        ),
-        grid=(bnw // wpb,),
+        )
+        out_spec = pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((wpb * n, c), x.dtype)]
+    else:
+        x_spec = pl.BlockSpec((wpb, n, c), lambda i, g: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        const2 = lambda i, g: (0, 0)  # noqa: E731
+        w_in_spec = pl.BlockSpec((c, gc), lambda i, g: (0, g),
+                                 memory_space=pltpu.VMEM)
+        b_in_spec = pl.BlockSpec((1, gc), lambda i, g: (0, g),
+                                 memory_space=pltpu.VMEM)
+        wp_spec = pl.BlockSpec((gc, c), lambda i, g: (g, 0),
+                               memory_space=pltpu.VMEM)
+        bp_spec = pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM)
+        bias_spec = pl.BlockSpec(
+            (gh, rel_bias.shape[1], rel_bias.shape[2]),
+            lambda i, g: (g, 0, 0), memory_space=pltpu.VMEM)
+        mask_map = (lambda i, g: (i % (num_windows // wpb), 0, 0)) \
+            if with_mask else (lambda i, g: (0, 0, 0))
+        grid = (bnw // wpb, hg)
+        kernel = functools.partial(
+            _window_block_hg_kernel, scale=scale, with_mask=with_mask,
+            group_heads=gh, head_dim=d, n=n, wpb=wpb, eps=eps, n_groups=hg,
+        )
+        out_spec = pl.BlockSpec((wpb, n, c), lambda i, g: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((wpb * n, c), jnp.float32),
+                   pltpu.VMEM((wpb * n, gc), x.dtype)]
+
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+    ]
+    args = [x, row(ln_scale), row(ln_bias)]
+    for w_, b_ in ((wq, bq), (wk, bk), (wv, bv)):
+        in_specs += [w_in_spec, b_in_spec]
+        args += [w_, row(b_)]
+    in_specs += [wp_spec, bp_spec]
+    args += [wp, row(bp)]
+    # (H, N, N) rel-bias table, or (H, 1, 1) broadcast-zeros for plain
+    # (ViT-style) attention without a relative bias
+    in_specs.append(bias_spec)
+    args.append(rel_bias)
+    in_specs.append(
+        pl.BlockSpec((wpb, n, n), mask_map, memory_space=pltpu.VMEM)
+    )
+    args.append(mask if with_mask else jnp.zeros((wpb, n, n), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((bnw, n, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
+        scratch_shapes=scratch,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
 def _window_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
                   rel_bias, mask, num_heads, num_windows, eps, wpb,
-                  interpret):
+                  head_groups, interpret):
     return _window_block_impl(
         x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
         mask, num_heads=num_heads, num_windows=num_windows, eps=eps,
-        wpb=wpb, interpret=interpret,
+        wpb=wpb, head_groups=head_groups, interpret=interpret,
     )
 
 
 def _window_block_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
                       rel_bias, mask, num_heads, num_windows, eps, wpb,
-                      interpret):
+                      head_groups, interpret):
     out = _window_block_impl(
         x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
         mask, num_heads=num_heads, num_windows=num_windows, eps=eps,
-        wpb=wpb, interpret=interpret,
+        wpb=wpb, head_groups=head_groups, interpret=interpret,
     )
     return out, (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
                  rel_bias, mask)
 
 
-def _window_block_bwd(num_heads, num_windows, eps, wpb, interpret,
-                      residuals, g):
+def _window_block_bwd(num_heads, num_windows, eps, wpb, head_groups,
+                      interpret, residuals, g):
     """Exact gradients for EVERY input (x, LN affine, qkv/proj weights,
     bias table, mask) by recomputing through the XLA reference."""
-    del num_heads, wpb, interpret
+    del num_heads, wpb, head_groups, interpret
     (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
      mask) = residuals
     has_mask = mask is not None
@@ -515,28 +618,55 @@ _window_block.defvjp(_window_block_fwd, _window_block_bwd)
 
 
 def _wpb_auto(bnw: int, n: int, c: int, h: int, nb: int, itemsize: int,
-              masked: bool, num_windows: int) -> int:
+              masked: bool, num_windows: int, head_groups: int = 1) -> int:
     """Largest windows-per-program whose VMEM footprint fits the ~16 MB
     scoped budget (measured: wpb=8 at n=144, C=512 allocates 18.15 MB and
     the compiler aborts). Model, validated against that point (est. 20 MB):
-    resident weights 4C²·is + bias table + per-program blocks — x/out
-    double-buffered, attn scratch, f32 qkv accumulators before the cast
-    (≈ 3·(4+is)·rows·C), LN temp, plus the mask block when shifted."""
+    resident weights 4C²·is (÷ head_groups when grouped) + bias table +
+    per-program blocks — x/out double-buffered, attn scratch, f32 qkv
+    accumulators before the cast (≈ 3·(4+is)·rows·C), LN temp, the f32
+    accumulator scratch when grouped, plus the mask block when shifted."""
     budget = 14 * 2**20
-    fixed = 4 * c * c * itemsize + h * nb * nb * 4
+    fixed = (4 * c * c * itemsize) // head_groups + (
+        h // head_groups
+    ) * nb * nb * 4
     for cand in (8, 4, 2):
         if bnw % cand or (masked and num_windows % cand):
             continue
         per = cand * (n * n * 4 * (2 if masked else 1)
-                      + n * c * (5 * itemsize + 16))
+                      + n * c * (5 * itemsize + 16)
+                      + (n * c * 4 if head_groups > 1 else 0))
         if fixed + per <= budget:
             return cand
     return 1
 
 
+def block_kernel_head_groups(c: int, num_heads: int, itemsize: int,
+                             budget: int = 5 * 2**20) -> int | None:
+    """Head-group count for the whole-block kernel at width ``c``, or None
+    when no valid grouping exists. G=1 (all weights resident) when 4C²
+    fits ``budget``; otherwise the smallest power-of-two G dividing H with
+    4C²/G under budget AND lane-aligned group columns ((H/G)·D % 128 == 0
+    — the Mosaic (wpb·N, C) collapse constraint). ViT-B bf16 → 1;
+    ViT-L/CLIP-L/Swin-stage-3 (C=1024) bf16 → 2."""
+    if c % 128:
+        return None
+    d = c // num_heads
+    g = 1
+    while g <= num_heads:
+        if (4 * c * c * itemsize) // g <= budget:
+            gc = (num_heads // g) * d
+            return g if gc % 128 == 0 else None
+        g *= 2
+        if g <= num_heads and num_heads % g:
+            return None
+    return None
+
+
 def window_block_pallas(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp,
                         bp, rel_bias, mask=None, *, num_windows: int = 1,
                         eps: float = 1e-5, wpb: int | None = None,
+                        head_groups: int | None = None,
                         interpret: bool = False):
     """Fused Swin block attention half: ``x + proj(attn(LN(x)))``.
 
@@ -545,17 +675,24 @@ def window_block_pallas(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp,
     w{q,k,v}: (C, H·D); wp: (C, C); rel_bias: (H, N, N); mask: (nW, N, N).
     ``wpb`` windows are processed per program (qkv/proj matmuls run at
     M = wpb·N rows); must divide B·nW and, when masked, num_windows.
-    Differentiable: custom VJP with exact gradients for all inputs.
+    ``head_groups`` streams the weights in G head-contiguous slices so
+    large-C models (ViT-L/CLIP-L/Swin stage 3) fit the VMEM budget; None →
+    ``block_kernel_head_groups`` policy. Differentiable: custom VJP with
+    exact gradients for all inputs.
     """
     bnw, n, c = x.shape
     h = rel_bias.shape[0]
+    if head_groups is None:
+        head_groups = block_kernel_head_groups(
+            c, h, jnp.dtype(x.dtype).itemsize
+        ) or 1
     if wpb is None:
         wpb = _wpb_auto(bnw, n, c, h, rel_bias.shape[1],
                         jnp.dtype(x.dtype).itemsize, mask is not None,
-                        num_windows)
+                        num_windows, head_groups)
     return _window_block(
         x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
         jnp.asarray(rel_bias, jnp.float32),
         None if mask is None else jnp.asarray(mask, jnp.float32),
-        h, num_windows, eps, wpb, interpret,
+        h, num_windows, eps, wpb, head_groups, interpret,
     )

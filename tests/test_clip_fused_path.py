@@ -83,3 +83,42 @@ def test_clip_fused_path_input_grads_match_xla():
     assert float(jnp.abs(g_ref).max()) > 0.0
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_clip_block_kernel_path_matches_xla():
+    """Lane-aligned widths route the attention half through the whole-block
+    window kernel (one 257-token window; CLIP-L additionally streams the
+    weights in head groups — grouped parity is covered at ops level in
+    test_pallas_window_block.py)."""
+    import robustart_tpu.ops.pallas_attention as pa
+    from tests.test_pallas_window_block import interp_pallas
+
+    module = CLIPVisionClassifier(
+        patch_size=14, width=256, depth=2, num_heads=2, embed_dim=32,
+        num_classes=10,
+    )
+    clf = init_classifier("clip_mini_block", module, rng=0, input_size=56)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 56, 56, 3)), jnp.float32)
+    xn = (x - jnp.asarray(clf.mean)) / jnp.asarray(clf.std)
+
+    ref = module.clone(attention_impl="xla").apply(clf.variables, xn,
+                                                   train=False)
+    calls = {"blk": 0}
+    orig_blk = pa.window_block_pallas
+
+    def counting_blk(*a, **kw):
+        calls["blk"] += 1
+        return orig_blk(*a, **kw)
+
+    pa.window_block_pallas = counting_blk
+    try:
+        with interp_pallas(pa):
+            got = module.clone(attention_impl="pallas").apply(
+                clf.variables, xn, train=False
+            )
+    finally:
+        pa.window_block_pallas = orig_blk
+    assert calls["blk"] == 2  # one per depth-2 block
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

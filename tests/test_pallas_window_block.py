@@ -234,3 +234,65 @@ def test_vit_module_fused_block_matches_xla():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("head_groups", [2, 4])
+def test_window_block_head_grouped_matches_reference(with_mask, head_groups):
+    """The head-grouped variant (weights streamed in G head slices, f32
+    partial-proj accumulation) is numerically the same block."""
+    args = _data(with_mask=with_mask)
+    ref = window_block_reference(*args, num_windows=4)
+    got = window_block_pallas(*args, num_windows=4, wpb=2,
+                              head_groups=head_groups, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_window_block_head_grouped_vit_style_bias():
+    """(H, 1, 1) broadcast-zero bias (the ViT/CLIP single-window use) under
+    head grouping."""
+    args = list(_data(bnw=4, with_mask=False, seed=9))
+    args[11] = jnp.zeros((4, 1, 1), jnp.float32)  # rel_bias (H, 1, 1)
+    ref = window_block_reference(*args, num_windows=1)
+    got = window_block_pallas(*args, num_windows=1, wpb=2, head_groups=2,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_window_block_head_grouped_gradients():
+    args = _data(bnw=4, h=2, seed=4)
+
+    def loss_pallas(*a):
+        out = window_block_pallas(*a, num_windows=4, wpb=2, head_groups=2,
+                                  interpret=True)
+        return jnp.sum(out * out)
+
+    def loss_ref(*a):
+        out = window_block_reference(*a, num_windows=4)
+        return jnp.sum(out * out)
+
+    idx = (0, 3, 9, 11)  # x, wq, wp, rel_bias — spot-check the VJP wiring
+    gp = jax.grad(loss_pallas, argnums=idx)(*args)
+    gr = jax.grad(loss_ref, argnums=idx)(*args)
+    for i, (a, b) in enumerate(zip(gp, gr)):
+        assert float(jnp.abs(b).max()) > 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad argnum {idx[i]}")
+
+
+def test_block_kernel_head_groups_policy():
+    from robustart_tpu.ops.pallas_attention import block_kernel_head_groups
+
+    # ViT-B bf16: 4·768²·2 = 4.5 MB fits → all heads resident
+    assert block_kernel_head_groups(768, 12, 2) == 1
+    # CLIP-L / ViT-L bf16 (C=1024, H=16): 8 MB → two groups of 8 heads
+    assert block_kernel_head_groups(1024, 16, 2) == 2
+    # Swin stage 3 bf16 (C=1024, H=32) → two groups of 16 heads
+    assert block_kernel_head_groups(1024, 32, 2) == 2
+    # f32 CLIP-L: 16 MB → four groups
+    assert block_kernel_head_groups(1024, 16, 4) == 4
+    # lane-misaligned C is never fused
+    assert block_kernel_head_groups(192, 3, 4) is None
