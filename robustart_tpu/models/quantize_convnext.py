@@ -33,15 +33,16 @@ import numpy as np
 from robustart_tpu.models.convnext import ConvNeXt
 from robustart_tpu.models.layers import normalize_01
 from robustart_tpu.ops.pallas_convnext import dwconv_ln_reference
-from robustart_tpu.ops.quant import quantize_weight_per_channel, requantize
+from robustart_tpu.ops.quant import (
+    dense_i8,
+    ln_f32,
+    quantize_weight_per_channel,
+    requantize,
+)
 
 
 def _ln(x, p, eps=1e-6, out_dtype=jnp.float32):
-    x = x.astype(jnp.float32)
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    y = (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
-    return y.astype(out_dtype)
+    return ln_f32(x, p, eps, out_dtype)
 
 
 def _grn(x, p):
@@ -49,15 +50,6 @@ def _grn(x, p):
     gx = jnp.sqrt(jnp.sum(xf**2, axis=(1, 2), keepdims=True) + 1e-12)
     nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
     return (p["gamma"] * (xf * nx) + p["beta"] + xf).astype(x.dtype)
-
-
-def _dense_q(x_i8, entry, s_in):
-    y = jax.lax.dot_general(
-        x_i8, entry["w"],
-        dimension_numbers=(((x_i8.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    return y * (s_in * entry["sw"]) + entry["b"]
 
 
 def _conv_q(x_i8, entry, s_in, stride):
@@ -92,7 +84,7 @@ def _forward(qp, cfg, x, *, mode: str):
             e = qp[name]
             return a @ e["w"] + e["b"]
         a_i8 = requantize(a.astype(jnp.float32), qp["inv_scale"][site])
-        return _dense_q(a_i8, qp[name], qp["scale"][site]).astype(adt)
+        return dense_i8(a_i8, qp[name], qp["scale"][site]).astype(adt)
 
     # stem (exact int8 fold in int8 mode), then float LN
     e = qp["stem_conv"]

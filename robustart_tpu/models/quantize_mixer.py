@@ -34,24 +34,16 @@ import numpy as np
 
 from robustart_tpu.models.layers import normalize_01
 from robustart_tpu.models.mlp_mixer import MlpMixer
-from robustart_tpu.ops.quant import quantize_weight_per_channel, requantize
+from robustart_tpu.ops.quant import (
+    dense_i8,
+    ln_f32,
+    quantize_weight_per_channel,
+    requantize,
+)
 
 
 def _ln(x, p, eps=1e-6, out_dtype=jnp.float32):
-    x = x.astype(jnp.float32)
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    y = (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
-    return y.astype(out_dtype)
-
-
-def _dense_q(x_i8, entry, s_in):
-    y = jax.lax.dot_general(
-        x_i8, entry["w"],
-        dimension_numbers=(((x_i8.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    return y * (s_in * entry["sw"]) + entry["b"]
+    return ln_f32(x, p, eps, out_dtype)
 
 
 def _forward(qp, cfg, x, *, mode: str):
@@ -76,7 +68,7 @@ def _forward(qp, cfg, x, *, mode: str):
             a_i8 = a
         else:
             a_i8 = requantize(a.astype(jnp.float32), qp["inv_scale"][site])
-        return _dense_q(a_i8, qp[name], qp["scale"][site]).astype(adt)
+        return dense_i8(a_i8, qp[name], qp["scale"][site]).astype(adt)
 
     def ln_q(x, p, site):
         """LN emitting int8 at the site scale directly (int8 mode): the

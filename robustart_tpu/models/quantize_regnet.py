@@ -63,12 +63,12 @@ def _regnet_spec(module: RegNetX, in_width: int = 32):
             ))
             cur_site = f"{name}.out"
             cur_w = w
-    return blocks, cur_site
+    return blocks
 
 
 def _fold_all(variables, module: RegNetX):
     params, stats = variables["params"], variables["batch_stats"]
-    blocks, head_site = _regnet_spec(module)
+    blocks = _regnet_spec(module)
     folded = {}
 
     def fold(conv_path, bn_path):
@@ -90,11 +90,14 @@ def _fold_all(variables, module: RegNetX):
             fold(f"{blk.name}/conv{ci}", f"{blk.name}/bn{ci}")
         if blk.has_proj:
             fold(f"{blk.name}/proj", f"{blk.name}/proj_bn")
-    return folded, blocks, head_site
+    return folded, blocks
 
 
-def _forward(qp, blocks, head_site, x, *, mode: str):
-    """mode='calib': x = normalized f32 image; mode='int8': uint8−128."""
+def _forward(qp, blocks, x, *, mode: str):
+    """mode='calib': x = normalized f32 image; mode='int8': uint8−128.
+
+    The head (global pool + fc) runs f32 on the un-requantized final
+    residual — no head scale exists by design."""
     amax = {}
 
     def record(site, t):
@@ -171,8 +174,7 @@ def _forward(qp, blocks, head_site, x, *, mode: str):
         if mode == "calib":
             x = record(blk.site_out, x)
 
-    feats = x
-    pooled = jnp.mean(feats, axis=(1, 2))
+    pooled = jnp.mean(x, axis=(1, 2))
     logits = pooled @ qp["fc"]["w"] + qp["fc"]["b"]
     return logits, amax
 
@@ -182,7 +184,6 @@ class QuantizedRegNet:
     name: str
     qparams: Any
     blocks: Any
-    head_site: str
     mean: Sequence[float]
     std: Sequence[float]
     num_classes: int = 1000
@@ -197,7 +198,7 @@ class QuantizedRegNet:
             k = jnp.clip(jnp.round(images.astype(jnp.float32) * 255.0), 0, 255)
             x_i8 = (k - 128).astype(jnp.int8)
         logits, _ = _forward(
-            qparams, self.blocks, self.head_site, x_i8, mode="int8"
+            qparams, self.blocks, x_i8, mode="int8"
         )
         return logits
 
@@ -211,7 +212,7 @@ def quantize_regnet(clf, calib_images, calib_batch_size: int = 64):
         raise ValueError(
             f"quantize_regnet supports RegNetX/Y; got {type(module).__name__}"
         )
-    folded, blocks, head_site = _fold_all(clf.variables, module)
+    folded, blocks = _fold_all(clf.variables, module)
     qp: dict = dict(folded)
     p = clf.variables["params"]
     qp["fc"] = {
@@ -229,7 +230,7 @@ def quantize_regnet(clf, calib_images, calib_batch_size: int = 64):
             }
 
     calib_fn = jax.jit(
-        lambda f, x: _forward(f, blocks, head_site, x, mode="calib")[1]
+        lambda f, x: _forward(f, blocks, x, mode="calib")[1]
     )
     images = np.asarray(calib_images)
     n = max(len(images) // calib_batch_size, 1)
@@ -270,7 +271,6 @@ def quantize_regnet(clf, calib_images, calib_batch_size: int = 64):
         name=f"{clf.name}@int8",
         qparams=qp,
         blocks=blocks,
-        head_site=head_site,
         mean=clf.mean,
         std=clf.std,
         num_classes=clf.num_classes,

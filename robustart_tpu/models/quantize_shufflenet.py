@@ -44,6 +44,8 @@ class _Unit:
     name: str  # e.g. "stage2_0"
     stride: int
     features: int
+    site_in: str = ""  # input activation-scale site; filled by the
+    # annotation pass in quantize_shufflenet (previous unit's output)
 
 
 def _spec(module: ShuffleNetV2):
@@ -229,7 +231,7 @@ def quantize_shufflenet(clf, calib_images, calib_batch_size: int = 64):
     cur = "stem"
     annotated = []
     for u in units:
-        annotated.append(_AnnotatedUnit(u.name, u.stride, u.features, cur))
+        annotated.append(dataclasses.replace(u, site_in=cur))
         cur = u.name
     units = annotated
 
@@ -242,7 +244,9 @@ def quantize_shufflenet(clf, calib_images, calib_batch_size: int = 64):
         x01 = jnp.asarray(batch, jnp.float32) / 255.0
         stats = calib_fn(folded, normalize_01(x01, clf.mean, clf.std))
         amax = stats if amax is None else jax.tree.map(jnp.maximum, amax, stats)
-    scale = {k: jnp.maximum(v, 1e-12) / 127.0 for k, v in amax.items()}
+    # Python-float scales like every other quantize_* family (uniform
+    # qparams pytrees for serialization/broadcast tooling)
+    scale = {k: float(jnp.maximum(v, 1e-12)) / 127.0 for k, v in amax.items()}
 
     mean = np.asarray(clf.mean, np.float64)
     std = np.asarray(clf.std, np.float64)
@@ -275,10 +279,3 @@ def quantize_shufflenet(clf, calib_images, calib_batch_size: int = 64):
         input_size=clf.input_size,
     )
 
-
-@dataclasses.dataclass(frozen=True)
-class _AnnotatedUnit:
-    name: str
-    stride: int
-    features: int
-    site_in: str

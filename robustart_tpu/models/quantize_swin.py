@@ -38,25 +38,16 @@ from robustart_tpu.models.swin import (
     window_partition,
     window_reverse,
 )
-from robustart_tpu.ops.quant import quantize_weight_per_channel, requantize
+from robustart_tpu.ops.quant import (
+    dense_i8,
+    ln_f32,
+    quantize_weight_per_channel,
+    requantize,
+)
 
 
 def _ln(x, p, eps=1e-5, out_dtype=jnp.float32):
-    x = x.astype(jnp.float32)
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    y = (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
-    return y.astype(out_dtype)
-
-
-def _dense_q(x_i8, entry, s_in):
-    y = jax.lax.dot_general(
-        x_i8, entry["w"],
-        dimension_numbers=(((x_i8.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    y = y * (s_in * entry["sw"])
-    return y + entry["b"] if entry.get("b") is not None else y
+    return ln_f32(x, p, eps, out_dtype)
 
 
 def _attention(q, k, v, rel_bias, mask, nw, *, pallas: bool):
@@ -100,7 +91,7 @@ def _forward(qp, cfg, x, *, mode: str, pallas: bool):
             a_i8 = a
         else:
             a_i8 = requantize(a.astype(jnp.float32), qp["inv_scale"][site])
-        return _dense_q(a_i8, qp[name], qp["scale"][site]).astype(adt)
+        return dense_i8(a_i8, qp[name], qp["scale"][site]).astype(adt)
 
     def ln_q(x, p, site, eps=1e-5):
         if mode == "calib":

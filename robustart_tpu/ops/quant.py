@@ -88,3 +88,29 @@ def maxpool_i8(x: jax.Array, window: int = 3, stride: int = 2, padding: int = 1)
         window_strides=(1, stride, stride, 1),
         padding=pad,
     )
+
+
+def ln_f32(x, p, eps=1e-6, out_dtype=jnp.float32):
+    """LayerNorm with f32 statistics over the last axis, ``p`` a
+    ``{"scale", "bias"}`` dict — the shared body behind the transformer
+    int8 families' ``_ln`` wrappers (each keeps its model's eps default:
+    Mixer/ConvNeXt 1e-6, Swin 1e-5)."""
+    x = x.astype(jnp.float32)
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    y = (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(out_dtype)
+
+
+def dense_i8(x_i8, entry, s_in):
+    """int8×int8→int32 dense with per-output-channel dequant:
+    ``(x_i8 @ entry['w']) · (s_in · entry['sw']) [+ entry['b']]``.
+    ``entry['b']`` may be absent/None (Swin's qkv when qkv_bias is off)."""
+    y = jax.lax.dot_general(
+        x_i8, entry["w"],
+        dimension_numbers=(((x_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * (s_in * entry["sw"])
+    b = entry.get("b")
+    return y if b is None else y + b
