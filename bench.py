@@ -111,5 +111,44 @@ def main() -> None:
     )
 
 
+def _main_with_watchdog(budget_s: float = 1500.0) -> None:
+    """Run the bench in a worker thread with a hard deadline.
+
+    The TPU relay has a known wedge mode where executions hang at host
+    fetch (WORKLOG round 3) — a native-code hang can't be interrupted, so
+    on timeout the main thread emits ONE structured error line (value 0)
+    and hard-exits instead of hanging the driver's bench step forever.
+    """
+    import os
+    import threading
+
+    state: dict = {}
+
+    def run():
+        try:
+            main()
+            state["ok"] = True
+        except BaseException as e:  # report, don't swallow silently
+            state["err"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(budget_s)
+    if state.get("ok"):
+        return
+    err = state.get(
+        "err",
+        f"timeout after {budget_s:.0f}s (TPU worker unresponsive/wedged)",
+    )
+    print(json.dumps({
+        "metric": "imagenet_c_eval_images_per_sec_per_chip_resnet50",
+        "value": 0,
+        "unit": "img/s/chip",
+        "vs_baseline": 0,
+        "error": err[:300],
+    }))
+    os._exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_watchdog()
