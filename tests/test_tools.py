@@ -50,3 +50,46 @@ def test_inference_cli(tmp_path):
     main(["--config", str(cfg_path), "-i", str(img_dir), "-o", str(out_dir)])
     assert (out_dir / "a_cam.npy").exists()
     assert (out_dir / "a_overlay.png").exists()
+
+
+def test_bench_watchdog_emits_error_line_on_hang(monkeypatch, capsys):
+    """bench.py's watchdog must print ONE structured zero-value JSON line
+    (not hang) when the TPU path never completes (WORKLOG wedge mode)."""
+    import json as _json
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    monkeypatch.setattr(bench, "main", lambda: time.sleep(30))
+    exits = []
+    monkeypatch.setattr(os, "_exit", lambda code: exits.append(code))
+    bench._main_with_watchdog(budget_s=0.3)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and exits == [1]
+    row = _json.loads(out[0])
+    assert row["value"] == 0 and "error" in row and row["vs_baseline"] == 0
+
+
+def test_bench_watchdog_reports_exception(monkeypatch, capsys):
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    def boom():
+        raise RuntimeError("relay 413")
+
+    monkeypatch.setattr(bench, "main", boom)
+    exits = []
+    monkeypatch.setattr(os, "_exit", lambda code: exits.append(code))
+    bench._main_with_watchdog(budget_s=5.0)
+    row = _json.loads(capsys.readouterr().out.strip())
+    assert row["value"] == 0 and "relay 413" in row["error"]
+    assert exits == [1]
