@@ -243,3 +243,53 @@ def test_standard_cascade_robust_accuracy_agreement(shared_model_and_data,
             assert np.abs(delta).max() <= eps * 1.001
         else:
             assert np.sqrt((delta ** 2).sum(1)).max() <= eps * 1.001
+
+
+def test_mim_robust_accuracy_agreement(shared_model_and_data, monkeypatch):
+    """Head-to-head MIM: the reference's own pure-torch `_mim_whitebox`
+    (Attacks/imfgsm_attack.py:62-93 — the one gradient attack whose
+    reference implementation is runnable without foolbox/ART) vs
+    attacks/gradient.py::mim_linf on the shared-weights model. RNG (random
+    start) differs → outcome-level agreement."""
+    net, clf, xte, yte = shared_model_and_data
+    # the reference hard-codes .cuda() in normalize() and the random start
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    if REF_ATTACKS not in sys.path:
+        sys.path.insert(0, REF_ATTACKS)
+    # the reference file imports torchvision at module top (unused by
+    # _mim_whitebox); torchvision is not installed here — stub it
+    import types
+
+    tv = types.ModuleType("torchvision")
+    tv.datasets = types.ModuleType("torchvision.datasets")
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    monkeypatch.setitem(sys.modules, "torchvision.datasets", tv.datasets)
+    monkeypatch.setitem(sys.modules, "torchvision.transforms", tv.transforms)
+    from imfgsm_attack import _mim_whitebox
+
+    eps, steps, step = EPS_LINF, 10, 2 / 255
+    torch.manual_seed(0)
+    x_t = torch.tensor(xte.transpose(0, 3, 1, 2))
+    adv_t = _mim_whitebox(net, x_t, torch.tensor(yte), eps, steps, step)
+    racc_t = _torch_racc(net, adv_t.detach(), yte)
+
+    from robustart_tpu.attacks.gradient import mim_linf
+
+    adv_j = np.asarray(mim_linf(
+        clf.apply_fn, clf.variables, jnp.asarray(xte), jnp.asarray(yte),
+        jax.random.key(0), eps=eps, num_steps=steps, step_size=step,
+    ))
+    racc_j = _jax_racc(clf, adv_j, yte)
+
+    # the attack must actually bite (else agreement is vacuous)
+    clean = _jax_racc(clf, xte, yte)
+    assert racc_t <= clean - 0.1 and racc_j <= clean - 0.1
+    assert abs(racc_t - racc_j) <= 0.125, (racc_t, racc_j)
+
+    # both final perturbations obey the Linf ball and [0,1] clamp
+    for adv in (np.asarray(adv_t.detach().numpy().transpose(0, 2, 3, 1)),
+                adv_j):
+        assert np.abs(adv - xte).max() <= eps * 1.001
+        assert adv.min() >= 0.0 and adv.max() <= 1.0
