@@ -30,6 +30,9 @@ timeout 5400 python scripts/bench_models.py
 echo "== 5. fused-train step rate (zero-rate ViT adv-train gate) =="
 timeout 1200 python scripts/bench_train_step.py || true
 
+echo "== 5b. attack-generation throughput (AR cost driver) =="
+timeout 1800 python scripts/bench_attacks.py || true
+
 echo "== 6. DenseNet whole-block Pallas kernel trial (wedge suspect, last) =="
 timeout 900 python - <<'PY' || echo "dense-block kernel trial FAILED (keep opt-in)"
 import jax, jax.numpy as jnp, numpy as np, time
