@@ -39,7 +39,7 @@ def test_calib_graph_matches_flax_forward(name):
     """BN fold + SE ordering reproduce the flax eval forward exactly
     (models/regnet.py XBlock; regnety exercises the SE branch)."""
     clf = _make_clf(name)
-    qp, blocks, head_site = _setup_qp(clf)
+    qp, blocks = _setup_qp(clf)
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
     x01 = jnp.asarray(images, jnp.float32) / 255.0
@@ -48,8 +48,7 @@ def test_calib_graph_matches_flax_forward(name):
     from robustart_tpu.models.layers import normalize_01
 
     got, amax = _forward(
-        qp, blocks, head_site, normalize_01(x01, clf.mean, clf.std),
-        mode="calib",
+        qp, blocks, normalize_01(x01, clf.mean, clf.std), mode="calib",
     )
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-4)
     needed = {"stem"} | {b.site_out for b in blocks} | {
@@ -59,7 +58,7 @@ def test_calib_graph_matches_flax_forward(name):
 
 
 def _setup_qp(clf):
-    qp, blocks, head_site = _fold_all(clf.variables, clf.module)
+    qp, blocks = _fold_all(clf.variables, clf.module)
     p = clf.variables["params"]
     qp["fc"] = {
         "w": np.asarray(p["fc"]["kernel"]),
@@ -74,7 +73,7 @@ def _setup_qp(clf):
                 "ew": np.asarray(b["se_expand"]["kernel"]),
                 "eb": np.asarray(b["se_expand"]["bias"]),
             }
-    return qp, blocks, head_site
+    return qp, blocks
 
 
 def test_int8_agrees_with_float():
