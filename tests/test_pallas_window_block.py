@@ -296,3 +296,18 @@ def test_block_kernel_head_groups_policy():
     assert block_kernel_head_groups(1024, 16, 4) == 4
     # lane-misaligned C is never fused
     assert block_kernel_head_groups(192, 3, 4) is None
+
+
+def test_window_block_head_grouped_lane_aligned_shape():
+    """A CLIP-like configuration at reduced width: d=64 heads so the group
+    column count (gc = (H/G)·64) is lane-aligned as it is on the real
+    models (CLIP-L G=2 → gc=512), single 65-token window, wpb=1."""
+    args = _data(bnw=2, n=65, h=8, d=64, num_windows=1, with_mask=False,
+                 seed=12)
+    args = list(args)
+    args[11] = jnp.zeros((8, 1, 1), jnp.float32)  # ViT-style zero bias
+    ref = window_block_reference(*args, num_windows=1)
+    got = window_block_pallas(*args, num_windows=1, wpb=1, head_groups=2,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
