@@ -152,6 +152,13 @@ def _uint8_roundtrip(x01: jax.Array) -> jax.Array:
     return jnp.floor(jnp.clip(x01, 0.0, 1.0) * 255.0) / 255.0
 
 
+def _uint8_round(x01: jax.Array) -> jax.Array:
+    """Quantize to the uint8 grid by ROUNDING — PIL's own resample output
+    quantization (fixed-point round-half-up), vs the truncating np.uint8
+    casts `_uint8_roundtrip` models."""
+    return jnp.floor(jnp.clip(x01, 0.0, 1.0) * 255.0 + 0.5) / 255.0
+
+
 # ---------------------------------------------------------------------------
 # noise family
 # ---------------------------------------------------------------------------
@@ -463,12 +470,28 @@ def saturate(x, key, severity=1):
     return jnp.clip(hsv_to_rgb(hsv), 0.0, 1.0)
 
 
+def _pil_u8_resize(x01, out_hw, method="pil-box"):
+    """PIL 8-bit-mode separable resize: Pillow's 8bpc path runs the
+    HORIZONTAL pass first and stores the intermediate as uint8 (clip8
+    rounds half up), then the vertical pass rounds again — two grid
+    quantizations, not one (Pillow Resample.c ImagingResampleInner)."""
+    from robustart_tpu.ops.image import resize_matrix
+
+    h_in, w_in = x01.shape[0], x01.shape[1]
+    ww = jnp.asarray(resize_matrix(w_in, out_hw[1], method))
+    wh = jnp.asarray(resize_matrix(h_in, out_hw[0], method))
+    x = _uint8_round(jnp.einsum("ow,hwc->hoc", ww, x01))
+    return _uint8_round(jnp.einsum("oh,hwc->owc", wh, x))
+
+
 def pixelate(x, key, severity=1):
     c = [0.6, 0.5, 0.4, 0.3, 0.25][severity - 1]
     h, w = x.shape[0], x.shape[1]
     dh, dw = int(h * c), int(w * c)
-    down = resize(_uint8_roundtrip(x), (dh, dw), "pil-box")
-    up = resize(_uint8_roundtrip(down), (h, w), "pil-box")
+    # the reference resizes PIL uint8 'RGB' images (corruptions.py:385-391)
+    # — replicate PIL's per-pass uint8 rounding exactly
+    down = _pil_u8_resize(x, (dh, dw))
+    up = _pil_u8_resize(down, (h, w))
     return jnp.clip(up, 0.0, 1.0)
 
 
