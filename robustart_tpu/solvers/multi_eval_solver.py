@@ -62,20 +62,44 @@ class MultiEvalSolver(Solver):
             **(test_cfg.get("evaluator", {}).get("kwargs") or {"topk": [1, 5]})
         )
 
+        # online mode fuses all pending severities of a corruption into ONE
+        # jitted program per batch (default; ``data.test.fuse_severities:
+        # false`` opts out): the clean val set streams host→device once per
+        # corruption instead of once per (corruption, severity) — S× less
+        # relay traffic, S× fewer dispatches, one remote compile per
+        # corruption instead of per cell — with bitwise-identical results
+        # (each severity keeps its own RNG key chain).
+        fuse = bool(test_cfg.get("fuse_severities", True))
+        from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
+
         for corruption in corruptions:
-            for severity in severities:
-                res_file = osp.join(
-                    out_root, corruption, str(severity), "results.txt.all"
-                )
+            res_files = {
+                s: osp.join(out_root, corruption, str(s), "results.txt.all")
+                for s in severities
+            }
+            pending = {}
+            for s, res_file in res_files.items():
                 if osp.exists(res_file):  # idempotent-by-filesystem recovery
                     logger.info("skip existing %s", res_file)
                 else:
-                    if online:
-                        self._eval_online(corruption, severity, res_file, limit)
-                    else:
-                        self._eval_precomputed(corruption, severity, res_file, limit)
-                if self.rank == 0:
-                    metric = evaluator.eval(res_file)
+                    pending[s] = res_file
+            if pending:
+                if (
+                    online
+                    and fuse
+                    and CORRUPTIONS.get(corruption) is not None
+                    and len(pending) > 1
+                ):
+                    self._eval_online_fused(corruption, pending, limit)
+                elif online:
+                    for s, res_file in pending.items():
+                        self._eval_online(corruption, s, res_file, limit)
+                else:
+                    for s, res_file in pending.items():
+                        self._eval_precomputed(corruption, s, res_file, limit)
+            if self.rank == 0:
+                for severity in severities:
+                    metric = evaluator.eval(res_files[severity])
                     per_corruption.setdefault(corruption, []).append(
                         metric.metric["top1"]
                     )
@@ -147,6 +171,89 @@ class MultiEvalSolver(Solver):
         self._online_qparams = jax.device_put(q.qparams)
         logger.info("int8 online eval path enabled (%s)", q.name)
         return q
+
+    def _eval_online_fused(self, corruption, pending, limit):
+        """One pass over the clean val set computing ALL pending severities of
+        ``corruption`` per device-resident batch.
+
+        The per-batch program corrupts the uint8 batch once per severity and
+        runs the forward on each — host→device traffic, dispatch count, and
+        remote compiles all divide by ``len(pending)`` vs the per-cell loop,
+        and the stacked forwards keep the MXU busy across the corruption VPU
+        work. Results are bitwise-identical to :meth:`_eval_online`: severity
+        ``s`` uses the same key chain ``key(seed·131+s)`` folded with the
+        batch index, and the same corrupt→floor→forward graph.
+        """
+        cfg = self.cfg
+        loader = build_dataloader(
+            cfg.data, "test", self.rank, self.world_size,
+            seed=int(cfg.get("seed", 0)),
+        )
+        from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
+
+        corrupt_fn = CORRUPTIONS[corruption]
+        sev_list = sorted(pending)
+        qclf = self._online_quantized(loader, corrupt_fn, max(sev_list))
+        variables = self.classifier.variables
+        clf = self.classifier
+
+        @jax.jit
+        def fused_multi(params, images_u8, keys):
+            x01 = images_u8.astype(jnp.float32) / 255.0
+            outs = []
+            for si, severity in enumerate(sev_list):
+                ks = jax.random.split(keys[si], x01.shape[0])
+                c = jax.vmap(
+                    lambda img, k, s=severity: corrupt_fn(img, k, s)
+                )(x01, ks)
+                k8 = jnp.floor(jnp.clip(c, 0.0, 1.0) * 255.0)
+                if qclf is not None:
+                    outs.append(
+                        qclf.apply_fn(params, (k8 - 128).astype(jnp.int8))
+                    )
+                else:
+                    outs.append(clf.apply_fn(params, k8 / 255.0, train=False))
+            return jnp.stack(outs)
+
+        step_params = self._online_qparams if qclf is not None else variables
+        seed = int(cfg.get("seed", 0))
+        base_keys = {
+            s: jax.random.key(seed * 131 + s) for s in sev_list
+        }
+        writers = {
+            s: ResultWriter(pending[s], self.rank, self.world_size)
+            for s in sev_list
+        }
+        n_written = 0
+        t0 = time.time()
+        for bi, batch in enumerate(loader):
+            keys = jnp.stack(
+                [jax.random.fold_in(base_keys[s], bi) for s in sev_list]
+            )
+            logits = np.asarray(fused_multi(step_params, batch.image, keys))
+            for i in range(len(batch.mask)):
+                if batch.mask[i]:
+                    for si, s in enumerate(sev_list):
+                        writers[s].write(
+                            {
+                                "score": logits[si, i].tolist(),
+                                "label": int(batch.label[i]),
+                            }
+                        )
+                    n_written += 1
+                    if limit and n_written >= limit:
+                        break
+            if limit and n_written >= limit:
+                break
+        dt = time.time() - t0
+        logger.info(
+            "%s/%s (fused): %d samples × %d severities in %.2fs (%.1f img/s)",
+            corruption, sev_list, n_written, len(sev_list), dt,
+            n_written * len(sev_list) / max(dt, 1e-9),
+        )
+        for w in writers.values():
+            w.close()
+            w.merge()
 
     # -- precomputed ImageNet-C slices on disk --
     def _eval_precomputed(self, corruption, severity, res_file, limit):

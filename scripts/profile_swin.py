@@ -32,8 +32,9 @@ def time_model(module, batch, iters=10, warm=2):
     x = jax.device_put(
         rng.standard_normal((batch, 224, 224, 3)).astype(np.float32)
     )
-    variables = jax.jit(module.init, static_argnames="train")(
-        jax.random.PRNGKey(0), x[:2], train=False
+    variables = module.init(
+        {"params": jax.random.key(0)}, np.zeros((2, 224, 224, 3), np.float32),
+        train=False,
     )
 
     @jax.jit

@@ -63,6 +63,35 @@ def test_multi_eval_solver_online_imagenet_c(tmp_path):
     assert summary2["top1_per_corruption"] == summary["top1_per_corruption"]
 
 
+def test_multi_eval_online_fused_severities_bitwise(tmp_path):
+    """The fused-severities online path (default) writes bitwise-identical
+    result files to the per-cell path: each severity keeps its own RNG key
+    chain (key(seed·131+s) folded per batch) and the same corrupt→floor→
+    forward graph, just stacked into one program per batch."""
+    cfg_fused = _cfg(
+        tmp_path / "fused",
+        imagenet_c_online=True,
+        corruptions=["gaussian_noise"],
+        severities=[1, 3],
+    )
+    cfg_cell = _cfg(
+        tmp_path / "cell",
+        imagenet_c_online=True,
+        fuse_severities=False,
+        corruptions=["gaussian_noise"],
+        severities=[1, 3],
+    )
+    s_fused = MultiEvalSolver(cfg_fused).evaluate()
+    s_cell = MultiEvalSolver(cfg_cell).evaluate()
+    assert s_fused["top1_per_corruption"] == s_cell["top1_per_corruption"]
+    for sev in (1, 3):
+        a = (tmp_path / "fused" / "results" / "gaussian_noise" / str(sev)
+             / "results.txt.all").read_text()
+        b = (tmp_path / "cell" / "results" / "gaussian_noise" / str(sev)
+             / "results.txt.all").read_text()
+        assert a == b and len(a.splitlines()) == 16
+
+
 def test_imgnet_a_o_eval_solver(tmp_path):
     cfg = _cfg(tmp_path, **{"imagenet_a&o": True, "class_subset": list(range(5))})
     solver = ImgnetAOEvalSolver(cfg)
