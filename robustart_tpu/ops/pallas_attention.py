@@ -351,7 +351,7 @@ def _window_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
                          bk_ref, wv_ref, bv_ref, wp_ref, bp_ref, b_ref,
                          m_ref, o_ref, attn_ref, *, scale: float,
                          with_mask: bool, num_heads: int, head_dim: int,
-                         n: int, wpb: int, eps: float):
+                         n: int, wpb: int, eps: float, pair: bool = False):
     c = num_heads * head_dim
     xw = x_ref[:].reshape(wpb * n, c)
     xn = _ln_f32(xw, lns_ref[0], lnb_ref[0], eps).astype(xw.dtype)
@@ -368,8 +368,17 @@ def _window_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
     k = branch(wk_ref, bk_ref)
     v = branch(wv_ref, bv_ref)
     d = head_dim
-    for w in range(wpb):
-        rows = slice(w * n, (w + 1) * n)
+    # paired-window mode: Swin's per-(window, head) score matmuls are
+    # (49, 32)·(32, 49) — M, K, N all far below the 128-wide MXU, so each
+    # costs a full array pass at ≤10% utilization. Stacking TWO consecutive
+    # windows along both score dims (2n ≤ 128 keeps one lane tile) halves
+    # the macro-op count; the cross-window quadrants arrive masked to -1e30
+    # through the pre-paired bias table (built in _window_block_impl), so
+    # softmax rows and the p·v contraction are bitwise those of the
+    # per-window loop (the extra terms are exact zeros).
+    n_iter = n * 2 if pair else n
+    for w in range(wpb // 2 if pair else wpb):
+        rows = slice(w * n_iter, (w + 1) * n_iter)
         qw = q[rows].astype(jnp.float32)
         kw = k[rows].astype(jnp.float32)
         vw = v[rows]
@@ -490,7 +499,28 @@ def _window_block_impl(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
     def row(v):
         return v.reshape(1, -1)
 
+    pair = False
     if hg == 1:
+        # pair consecutive windows in the attention core when two windows'
+        # scores fit one 128-lane tile (see _window_block_kernel): full
+        # (H, N, N) bias only (Swin) — the (H, 1, 1) broadcast-zero ViT
+        # form can't carry the cross-window -inf quadrants
+        pair = (
+            n <= 64 and wpb % 2 == 0 and rel_bias.shape[1] == n
+            and (mask is None or num_windows % 2 == 0)
+        )
+        if pair:
+            neg = jnp.full((num_heads, n, n), -1e30, rel_bias.dtype)
+            rel_bias = jnp.concatenate([
+                jnp.concatenate([rel_bias, neg], axis=2),
+                jnp.concatenate([neg, rel_bias], axis=2),
+            ], axis=1)  # (H, 2N, 2N)
+            if with_mask:
+                zero = jnp.zeros_like(mask[0::2])
+                mask = jnp.concatenate([
+                    jnp.concatenate([mask[0::2], zero], axis=2),
+                    jnp.concatenate([zero, mask[1::2]], axis=2),
+                ], axis=1)  # (nW/2, 2N, 2N)
         x_spec = pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
         const2 = lambda i: (0, 0)  # noqa: E731
@@ -506,6 +536,7 @@ def _window_block_impl(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
         kernel = functools.partial(
             _window_block_kernel, scale=scale, with_mask=with_mask,
             num_heads=num_heads, head_dim=d, n=n, wpb=wpb, eps=eps,
+            pair=pair,
         )
         out_spec = pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -551,10 +582,14 @@ def _window_block_impl(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
     # (ViT-style) attention without a relative bias
     in_specs.append(bias_spec)
     args.append(rel_bias)
+    if hg == 1 and pair:
+        mask_block = (wpb // 2, 2 * n, 2 * n)
+    else:
+        mask_block = (wpb, n, n)
     in_specs.append(
-        pl.BlockSpec((wpb, n, n), mask_map, memory_space=pltpu.VMEM)
+        pl.BlockSpec(mask_block, mask_map, memory_space=pltpu.VMEM)
     )
-    args.append(mask if with_mask else jnp.zeros((wpb, n, n), jnp.float32))
+    args.append(mask if with_mask else jnp.zeros(mask_block, jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -50,6 +50,20 @@ def test_window_block_forward_matches_reference(with_mask, wpb):
                                rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_window_block_paired_windows_bitwise_vs_unpaired(with_mask):
+    """Even wpb at n ≤ 64 activates paired-window scores (two windows per
+    MXU macro-op, cross-window quadrants at -1e30 via the paired bias).
+    The extra contraction terms are exact zeros, so outputs are BITWISE
+    those of the per-window loop (wpb=1 never pairs)."""
+    args = _data(with_mask=with_mask)
+    unpaired = window_block_pallas(*args, num_windows=4, wpb=1,
+                                   interpret=True)
+    paired = window_block_pallas(*args, num_windows=4, wpb=2,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(paired), np.asarray(unpaired))
+
+
 def test_window_block_mask_indexed_per_window_position():
     """Each window must get mask[window_index % num_windows] — a uniform
     mask would hide a wrong BlockSpec index map."""
