@@ -1,0 +1,230 @@
+"""GPipe pipeline parallelism: schedule parity, gradients, dp×pp meshes.
+
+The reference has no pipeline parallelism (SURVEY.md §2.11 — DP only);
+these tests validate the TPU-native superset in parallel/pipeline.py
+against the sequential forward as the oracle, on the 8-virtual-device CPU
+mesh (the SURVEY §4 multi-device test strategy).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from robustart_tpu.parallel.pipeline import (
+    gpipe,
+    shard_pipeline_params,
+    split_stages,
+    stack_blocks,
+    unsplit_stages,
+    vit_merge_params,
+    vit_pipeline_logits_fn,
+    vit_split_params,
+)
+
+
+def _pipe_mesh(pipe=4, data=None):
+    devs = np.array(jax.devices()[: pipe * (data or 1)])
+    if data:
+        return Mesh(devs.reshape(data, pipe), ("data", "pipe"))
+    return Mesh(devs, ("pipe",))
+
+
+def _toy_stage(params_bps, x):
+    def body(h, w):
+        return jnp.tanh(h @ w), None
+
+    h, _ = jax.lax.scan(body, x, params_bps)
+    return h
+
+
+def _toy_params(depth=8, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        {"w": jnp.asarray(rng.normal(0, 0.3, (dim, dim)), jnp.float32)}
+        for _ in range(depth)
+    ]
+
+
+def _toy_sequential(blocks, x):
+    for b in blocks:
+        x = jnp.tanh(x @ b["w"])
+    return x
+
+
+class TestGpipeCore:
+    def test_matches_sequential(self):
+        blocks = _toy_params()
+        mesh = _pipe_mesh(4)
+        staged = split_stages(stack_blocks(blocks), 4)
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(0, 1, (12, 16)), jnp.float32
+        )
+        stage = lambda p, h: _toy_stage(p["w"], h)  # noqa: E731
+        got = gpipe(stage, staged, x, mesh=mesh, n_microbatches=6)
+        want = _toy_sequential(blocks, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("m", [1, 2, 12])
+    def test_any_microbatch_count(self, m):
+        # correctness must not depend on M (bubble ticks are masked)
+        blocks = _toy_params(depth=4)
+        mesh = _pipe_mesh(2)
+        staged = split_stages(stack_blocks(blocks), 2)
+        x = jnp.asarray(
+            np.random.default_rng(2).normal(0, 1, (12, 16)), jnp.float32
+        )
+        stage = lambda p, h: _toy_stage(p["w"], h)  # noqa: E731
+        got = gpipe(stage, staged, x, mesh=mesh, n_microbatches=m)
+        want = _toy_sequential(blocks, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_gradients_match_sequential(self):
+        # the SAME schedule must be reverse-differentiable: grads wrt the
+        # staged params and the input agree with the sequential oracle
+        blocks = _toy_params(depth=8)
+        mesh = _pipe_mesh(4)
+        staged = split_stages(stack_blocks(blocks), 4)
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(0, 1, (8, 16)), jnp.float32
+        )
+        stage = lambda p, h: _toy_stage(p["w"], h)  # noqa: E731
+
+        def loss_pipe(staged, x):
+            y = gpipe(stage, staged, x, mesh=mesh, n_microbatches=4)
+            return jnp.sum(y**2)
+
+        def loss_seq(stacked, x):
+            def body(h, w):
+                return jnp.tanh(h @ w), None
+
+            y, _ = jax.lax.scan(body, x, stacked["w"])
+            return jnp.sum(y**2)
+
+        gp, gx = jax.grad(loss_pipe, argnums=(0, 1))(staged, x)
+        stacked = stack_blocks(blocks)
+        gs, gxs = jax.grad(loss_seq, argnums=(0, 1))(stacked, x)
+        np.testing.assert_allclose(
+            np.asarray(unsplit_stages(gp)["w"]), np.asarray(gs["w"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gxs),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_bad_shapes_raise(self):
+        blocks = _toy_params(depth=6)
+        mesh = _pipe_mesh(4)
+        with pytest.raises(ValueError, match="not divisible"):
+            split_stages(stack_blocks(blocks), 4)
+        staged = split_stages(stack_blocks(_toy_params(depth=8)), 4)
+        x = jnp.zeros((10, 16), jnp.float32)
+        stage = lambda p, h: _toy_stage(p["w"], h)  # noqa: E731
+        with pytest.raises(ValueError, match="n_microbatches"):
+            gpipe(stage, staged, x, mesh=mesh, n_microbatches=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_vit():
+    from robustart_tpu.models import create_classifier
+
+    return create_classifier("deit_tiny_b16_224", rng=0, input_size=32)
+
+
+class TestVitPipeline:
+    def test_split_merge_roundtrip(self, tiny_vit):
+        split = vit_split_params(tiny_vit.variables, tiny_vit.module.depth, 4)
+        merged = vit_merge_params(split, tiny_vit.module.depth)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            merged,
+            {"params": tiny_vit.variables["params"]},
+        )
+
+    def test_logits_match_sequential(self, tiny_vit):
+        mesh = _pipe_mesh(4)
+        clf = tiny_vit
+        split = shard_pipeline_params(
+            vit_split_params(clf.variables, clf.module.depth, 4), mesh
+        )
+        fn = jax.jit(
+            vit_pipeline_logits_fn(clf, mesh=mesh, n_microbatches=4)
+        )
+        x = jnp.asarray(
+            np.random.default_rng(5).uniform(0, 1, (8, 32, 32, 3)),
+            jnp.float32,
+        )
+        got = np.asarray(fn(split, x))
+        want = np.asarray(clf.apply_fn(clf.variables, x, train=False))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_dp_pp_mesh(self, tiny_vit):
+        # (data=2, pipe=4): microbatch rows shard over data while stages
+        # pipeline over pipe — the production layout for large ViTs
+        mesh = _pipe_mesh(4, data=2)
+        clf = tiny_vit
+        split = shard_pipeline_params(
+            vit_split_params(clf.variables, clf.module.depth, 4), mesh
+        )
+        fn = jax.jit(
+            vit_pipeline_logits_fn(
+                clf, mesh=mesh, n_microbatches=4, x_spec=P(None, "data")
+            )
+        )
+        x = jnp.asarray(
+            np.random.default_rng(6).uniform(0, 1, (8, 32, 32, 3)),
+            jnp.float32,
+        )
+        got = np.asarray(fn(split, x))
+        want = np.asarray(clf.apply_fn(clf.variables, x, train=False))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_train_step_runs_and_matches_grads(self, tiny_vit):
+        # full pp train step: CE loss, grads wrt stacked stage params match
+        # the sequential model's per-block grads (the oracle)
+        mesh = _pipe_mesh(4)
+        clf = tiny_vit
+        depth = clf.module.depth
+        split = shard_pipeline_params(
+            vit_split_params(clf.variables, depth, 4), mesh
+        )
+        fn = vit_pipeline_logits_fn(clf, mesh=mesh, n_microbatches=4)
+        x = jnp.asarray(
+            np.random.default_rng(7).uniform(0, 1, (8, 32, 32, 3)),
+            jnp.float32,
+        )
+        y = jnp.asarray(np.arange(8) % 10, jnp.int32)
+
+        def ce(logits, labels):
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(
+                logp, labels[:, None], axis=1))
+
+        @jax.jit
+        def pipe_loss_grads(split, x, y):
+            return jax.value_and_grad(
+                lambda s: ce(fn(s, x), y)
+            )(split)
+
+        loss_p, grads_p = pipe_loss_grads(split, x, y)
+
+        def seq_loss(variables):
+            return ce(clf.apply_fn(variables, x, train=False), y)
+
+        loss_s, grads_s = jax.value_and_grad(seq_loss)(clf.variables)
+        assert np.isfinite(float(loss_p))
+        np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
+        # compare one early and one late block's attention-qkv kernel grad
+        gp = unsplit_stages(grads_p["stages"])
+        for i in (0, depth - 1):
+            want = np.asarray(
+                grads_s["params"][f"block{i}"]["attn"]["qkv"]["kernel"]
+            )
+            got = np.asarray(
+                jax.tree.map(lambda v: v[i], gp)["attn"]["qkv"]["kernel"]
+            )
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
