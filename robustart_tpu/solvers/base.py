@@ -306,6 +306,32 @@ class Solver:
             )
         else:
             self.mesh = get_mesh(("data",), devices=local)
+        # ``dist.pipeline_parallel: S`` (ViT family, eval surface): GPipe
+        # microbatch pipeline over a ``pipe`` axis (parallel/pipeline.py) —
+        # for depth-dominated models whose replicated weights outgrow one
+        # chip. Beyond the reference (DP-only, SURVEY.md §2.11).
+        self.pipeline_parallel = int(
+            self.cfg.get_path("dist.pipeline_parallel") or 1
+        )
+        if self.pipeline_parallel > 1:
+            if self.tensor_parallel > 1:
+                raise ValueError(
+                    "dist.pipeline_parallel and dist.tensor_parallel are "
+                    "mutually exclusive"
+                )
+            if len(local) % self.pipeline_parallel:
+                raise ValueError(
+                    f"pipeline_parallel={self.pipeline_parallel} does not "
+                    f"divide {len(local)} local devices"
+                )
+            self.mesh = get_mesh(
+                ("data", "pipe"),
+                mesh_shape=(
+                    len(local) // self.pipeline_parallel,
+                    self.pipeline_parallel,
+                ),
+                devices=local,
+            )
         self.evaluate_only = evaluate_only
         self.rank = self.dist.rank
         self.world_size = self.dist.world_size
@@ -349,6 +375,19 @@ class Solver:
             self.classifier.variables = shard_params(
                 self.classifier.variables, self.mesh
             )
+        if self.pipeline_parallel > 1:
+            from robustart_tpu.models.vit import VisionTransformer
+
+            if not isinstance(self.classifier.module, VisionTransformer):
+                raise ValueError(
+                    "dist.pipeline_parallel currently supports the ViT "
+                    f"family only, got {type(self.classifier.module).__name__}"
+                )
+            if self.classifier.module.depth % self.pipeline_parallel:
+                raise ValueError(
+                    f"depth {self.classifier.module.depth} not divisible by "
+                    f"pipeline_parallel={self.pipeline_parallel}"
+                )
         return self.classifier
 
     # -- jitted eval step --
@@ -364,6 +403,9 @@ class Solver:
         # maybe_quantize, which also calls it) — RepVGG gets the
         # re-parameterized deploy form before the fn is built
         self.maybe_deploy()
+        if self.pipeline_parallel > 1:
+            self._eval_fn = self._build_pipeline_eval_fn()
+            return self._eval_fn
         clf = self.classifier
         mesh = self.mesh
 
@@ -382,6 +424,63 @@ class Solver:
             return fn(variables, images_u8)
 
         self._eval_fn = wrapped
+        return wrapped
+
+    def _build_pipeline_eval_fn(self) -> Callable:
+        """Eval forward with the ViT trunk GPipe'd over the ``pipe`` axis.
+
+        ``dist.pipeline_microbatches`` (default 4·S) sets M; batches are
+        zero-padded up to a multiple of M·n_data (GPipe needs B % M == 0
+        and microbatch rows to shard evenly over ``data``) and the pad
+        logits sliced off. The split/sharded param copy is cached per
+        ``variables`` identity so eval_list checkpoint swaps re-split.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        from robustart_tpu.parallel.pipeline import (
+            shard_pipeline_params,
+            vit_pipeline_logits_fn,
+            vit_split_params,
+        )
+
+        clf = self.classifier
+        pp = self.pipeline_parallel
+        mesh = self.mesh
+        m = int(self.cfg.get_path("dist.pipeline_microbatches") or 4 * pp)
+        n_data = int(mesh.shape["data"])
+        quantum = m * n_data
+        logits_fn = vit_pipeline_logits_fn(
+            clf, mesh=mesh, n_microbatches=m, x_spec=P(None, "data")
+        )
+
+        @jax.jit
+        def fn(split, images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            return logits_fn(split, x)
+
+        cache: dict[int, Any] = {}
+
+        def wrapped(variables, images_u8):
+            key = id(variables)
+            if key not in cache:
+                cache.clear()
+                cache[key] = shard_pipeline_params(
+                    vit_split_params(variables, clf.module.depth, pp), mesh
+                )
+            split = cache[key]
+            b = images_u8.shape[0]
+            pad = (-b) % quantum
+            if pad:
+                images_u8 = jnp.concatenate(
+                    [
+                        jnp.asarray(images_u8),
+                        jnp.zeros((pad, *images_u8.shape[1:]),
+                                  jnp.asarray(images_u8).dtype),
+                    ]
+                )
+            out = fn(split, images_u8)
+            return out[:b] if pad else out
+
         return wrapped
 
     def maybe_quantize(self, loader) -> bool:
@@ -406,6 +505,11 @@ class Solver:
             return False
         if mode != "int8":
             raise ValueError(f"unknown model.quantize mode {mode!r}")
+        if self.pipeline_parallel > 1:
+            raise ValueError(
+                "model.quantize: int8 is incompatible with "
+                "dist.pipeline_parallel (the PTQ graph is not staged)"
+            )
         n_batches = int(
             self.cfg.get_path("model.quantize_calib_batches") or 2
         )

@@ -228,3 +228,67 @@ class TestVitPipeline:
                 jax.tree.map(lambda v: v[i], gp)["attn"]["qkv"]["kernel"]
             )
             np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_solver_pipeline_parallel_eval_equivalence(tmp_path):
+    """``dist.pipeline_parallel: 4`` through the SOLVER surface: a (2, 4)
+    data×pipe mesh must produce the same eval metrics as pure DP — the
+    same equivalence bar the tp knob is held to (test_parallel.py)."""
+    import os
+
+    import yaml
+
+    from robustart_tpu.solvers.cls_solver import main
+
+    def run(pp, sub):
+        cfg = {
+            "model": {"type": "deit_tiny_b16_224",
+                      "kwargs": {"num_classes": 10, "input_size": 32}},
+            "dist": {"pipeline_parallel": pp, "pipeline_microbatches": 2},
+            "data": {"type": "imagenet", "read_from": "fake", "fake_size": 16,
+                     "fake_num_classes": 10, "batch_size": 8,
+                     "input_size": 32, "num_workers": 0,
+                     "test": {"evaluator": {"type": "imagenet",
+                                            "kwargs": {"topk": [1, 5]}}}},
+            "saver": {"save_dir": str(tmp_path / sub / "ck"),
+                      "results_path": str(tmp_path / sub / "results.txt.all")},
+            "lr_scheduler": {"type": "CosineEpoch", "kwargs": {"max_epoch": 1}},
+            "optimizer": {"type": "SGD", "kwargs": {}},
+        }
+        if pp == 1:
+            cfg["dist"] = {}
+        p = str(tmp_path / sub / "config.yaml")
+        os.makedirs(str(tmp_path / sub), exist_ok=True)
+        with open(p, "w") as f:
+            yaml.safe_dump(cfg, f)
+        return main(["--config", p, "--evaluate"])
+
+    m_dp = run(1, "dp")
+    m_pp = run(4, "pp")
+    assert m_dp["top1"] == pytest.approx(m_pp["top1"], abs=1e-6)
+    assert m_dp["top5"] == pytest.approx(m_pp["top5"], abs=1e-6)
+
+
+def test_solver_pipeline_parallel_guards(tmp_path):
+    """pp×tp is rejected; non-ViT families are rejected at build_model."""
+    from robustart_tpu.core.config import Config
+    from robustart_tpu.solvers.base import Solver
+
+    base = {
+        "data": {"type": "imagenet", "read_from": "fake", "fake_size": 8,
+                 "fake_num_classes": 10, "batch_size": 8, "input_size": 32,
+                 "num_workers": 0},
+        "saver": {"save_dir": str(tmp_path / "ck")},
+    }
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Solver(Config({**base,
+                           "model": {"type": "deit_tiny_b16_224"},
+                           "dist": {"pipeline_parallel": 2,
+                                    "tensor_parallel": 2}}))
+    s = Solver(Config({**base,
+                           "model": {"type": "resnet18_official",
+                                     "kwargs": {"num_classes": 10,
+                                                "input_size": 32}},
+                           "dist": {"pipeline_parallel": 2}}))
+    with pytest.raises(ValueError, match="ViT family"):
+        s.build_model()
