@@ -40,6 +40,7 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -57,8 +58,22 @@ PIPE_AXIS = "pipe"
 
 
 def stack_blocks(block_params: Sequence[Any]) -> Any:
-    """Stack D homogeneous per-block param pytrees into leaves of (D, ...)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *block_params)
+    """Stack D homogeneous per-block param pytrees into leaves of (D, ...).
+
+    Stacks on the HOST (numpy): the motivating models are trunks whose
+    replicated weights outgrow one chip's HBM, so materializing the full
+    (D, ...) stack on the default device before shard_pipeline_params
+    device_puts the P('pipe') sharding would OOM the very case the
+    pipeline exists for. Inside a trace (abstract leaves) falls back to
+    jnp.stack — there XLA owns placement and no concrete buffer exists.
+    """
+
+    def stack(*xs):
+        if any(isinstance(x, jax.core.Tracer) for x in xs):
+            return jnp.stack(xs)
+        return np.stack([np.asarray(x) for x in xs])
+
+    return jax.tree.map(stack, *block_params)
 
 
 def split_stages(stacked: Any, n_stages: int) -> Any:

@@ -333,6 +333,18 @@ class Solver:
                 devices=local,
             )
         self.evaluate_only = evaluate_only
+        if self.pipeline_parallel > 1 and not evaluate_only:
+            # Only the eval path consumes the ``pipe`` axis; a training run
+            # would shard batches over ``data`` alone and silently replicate
+            # identical DP work across the pipe fold. Surface it loudly,
+            # mirroring the int8/train incompatibility.
+            raise ValueError(
+                "dist.pipeline_parallel applies to the eval surface only "
+                f"(pipeline_parallel={self.pipeline_parallel} with a "
+                "training solver would waste the pipe-axis devices on "
+                "replicated DP work); use parallel.pipeline.pp_train_step "
+                "directly for pipelined training, or drop the knob"
+            )
         self.rank = self.dist.rank
         self.world_size = self.dist.world_size
         self.classifier = None
@@ -458,16 +470,22 @@ class Solver:
             x = images_u8.astype(jnp.float32) / 255.0
             return logits_fn(split, x)
 
-        cache: dict[int, Any] = {}
+        # Cache holds (variables_obj, split): a strong reference to the key
+        # object plus an explicit identity check, so a freed dict whose id()
+        # is reused by a later checkpoint can never serve stale params.
+        cache: list[tuple[Any, Any]] = []
 
         def wrapped(variables, images_u8):
-            key = id(variables)
-            if key not in cache:
+            if not cache or cache[0][0] is not variables:
                 cache.clear()
-                cache[key] = shard_pipeline_params(
-                    vit_split_params(variables, clf.module.depth, pp), mesh
-                )
-            split = cache[key]
+                cache.append((
+                    variables,
+                    shard_pipeline_params(
+                        vit_split_params(variables, clf.module.depth, pp),
+                        mesh,
+                    ),
+                ))
+            split = cache[0][1]
             b = images_u8.shape[0]
             pad = (-b) % quantum
             if pad:

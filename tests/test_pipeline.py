@@ -285,10 +285,17 @@ def test_solver_pipeline_parallel_guards(tmp_path):
                            "model": {"type": "deit_tiny_b16_224"},
                            "dist": {"pipeline_parallel": 2,
                                     "tensor_parallel": 2}}))
+    # a TRAINING solver with pipeline_parallel is rejected outright: only
+    # the eval surface consumes the pipe axis (solvers/base.py guard)
+    with pytest.raises(ValueError, match="eval surface only"):
+        Solver(Config({**base,
+                       "model": {"type": "deit_tiny_b16_224"},
+                       "dist": {"pipeline_parallel": 2}}))
     s = Solver(Config({**base,
                            "model": {"type": "resnet18_official",
                                      "kwargs": {"num_classes": 10,
                                                 "input_size": 32}},
-                           "dist": {"pipeline_parallel": 2}}))
+                           "dist": {"pipeline_parallel": 2}}),
+               evaluate_only=True)
     with pytest.raises(ValueError, match="ViT family"):
         s.build_model()
