@@ -106,6 +106,7 @@ def gpipe(
     n_microbatches: int,
     axis: str = PIPE_AXIS,
     x_spec: P | None = None,
+    params_spec: Any | None = None,
 ) -> jax.Array:
     """Run ``x`` through S pipeline stages with a GPipe microbatch schedule.
 
@@ -173,10 +174,17 @@ def gpipe(
         out = jnp.where(rank == S - 1, out, jnp.zeros_like(out))
         return lax.psum(out, axis)
 
+    # params_spec: per-leaf PartitionSpecs for the stacked stage params
+    # (default: every leaf P(axis) on the stacked dim). A spec tree that
+    # also shards leaves over a tensor-parallel mesh axis hands stage_fn
+    # LOCAL weight shards — pair with a TP-aware stage_fn (vit_tp_stage_fn)
+    # that closes each Megatron pair with a psum over that axis.
+    if params_spec is None:
+        params_spec = P(axis)
     shmapped = shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(axis), x_spec),
+        in_specs=(params_spec, x_spec),
         out_specs=x_spec,
         check_rep=False,  # ppermute defeats static replication inference
     )
@@ -334,3 +342,161 @@ def shard_pipeline_params(
         lambda v: jax.device_put(v, NamedSharding(mesh, P())), split["outer"]
     )
     return {"outer": outer, "stages": stages}
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism INSIDE a pipeline stage (pp × tp × dp, three mesh axes)
+# ---------------------------------------------------------------------------
+# The Megatron column/row pairing (parallel/sharding.py tp_param_spec) moved
+# to the shard_map level: stacked stage leaves are sharded over BOTH the
+# 'pipe' axis (dim 0) and the 'model' axis (their Megatron dim), the stage
+# body computes attention over its LOCAL head group / MLP over its LOCAL
+# hidden slice, and ONE psum over 'model' closes each pair. The head-major
+# (H, 3, D) qkv packing (models/vit.py:91-97) makes a contiguous column
+# shard a whole group of heads, so no gather is needed before attention.
+# Beyond the reference (DP-only, SURVEY.md §2.11).
+
+
+def pp_tp_param_spec(path: tuple, value, *, pipe_axis: str = PIPE_AXIS,
+                     model_axis: str = "model") -> P:
+    """Spec for a STACKED stage leaf (S, bps, ...): pipe on dim 0 plus the
+    Megatron column/row rule (sharding.tp_param_spec) on the trailing dims."""
+    from robustart_tpu.parallel.sharding import _TP_COL, _TP_ROW
+
+    names = [getattr(k, "key", str(k)) for k in path]
+    leaf = names[-1] if names else ""
+    parent = names[-2] if len(names) >= 2 else ""
+    if leaf == "kernel" and getattr(value, "ndim", 0) == 4:
+        if parent in _TP_COL:
+            return P(pipe_axis, None, None, model_axis)
+        if parent in _TP_ROW:
+            return P(pipe_axis, None, model_axis, None)
+    if leaf == "bias" and parent in _TP_COL and getattr(value, "ndim", 0) == 3:
+        return P(pipe_axis, None, model_axis)
+    return P(pipe_axis, *([None] * (getattr(value, "ndim", 1) - 1)))
+
+
+def shard_pipeline_params_tp(split: dict, mesh: Mesh, *,
+                             pipe_axis: str = PIPE_AXIS,
+                             model_axis: str = "model") -> dict:
+    """device_put: stages by pp_tp_param_spec (pipe × model), outer replicated."""
+    from jax.sharding import NamedSharding
+
+    stages = jax.tree_util.tree_map_with_path(
+        lambda path, v: jax.device_put(
+            v,
+            NamedSharding(
+                mesh,
+                pp_tp_param_spec(path, v, pipe_axis=pipe_axis,
+                                 model_axis=model_axis),
+            ),
+        ),
+        split["stages"],
+    )
+    outer = jax.tree.map(
+        lambda v: jax.device_put(v, NamedSharding(mesh, P())), split["outer"]
+    )
+    return {"outer": outer, "stages": stages}
+
+
+def pipeline_params_spec_tp(split_stages: Any, *,
+                            pipe_axis: str = PIPE_AXIS,
+                            model_axis: str = "model") -> Any:
+    """The matching shard_map in_specs tree for gpipe(params_spec=...)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: pp_tp_param_spec(
+            path, v, pipe_axis=pipe_axis, model_axis=model_axis
+        ),
+        split_stages,
+    )
+
+
+def vit_tp_stage_fn(module, tp_axis: str = "model"):
+    """One pipeline stage (scan over its blocks) with Megatron TP inside.
+
+    Weights arrive as LOCAL shards: qkv/fc1 column-sharded (a contiguous
+    head group / hidden slice), proj/fc2 row-sharded; proj/fc2 biases are
+    replicated and added AFTER the pair-closing psum. Numerics match
+    vit_stage_fn exactly — the psum reassembles the full contraction.
+    """
+    from robustart_tpu.models.layers import layer_norm
+
+    H = module.num_heads
+    dt = module.dtype
+
+    def one_block(p, x):
+        b, n, c = x.shape
+        d = c // H
+        # attention half: col-sharded qkv → local-head attention →
+        # row-sharded proj → psum
+        y = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], 1e-6, dt)
+        qkv = jnp.dot(y.astype(dt), p["attn"]["qkv"]["kernel"].astype(dt))
+        if "bias" in p["attn"]["qkv"]:
+            qkv = qkv + p["attn"]["qkv"]["bias"].astype(dt)
+        hl = qkv.shape[-1] // (3 * d)  # local heads on this model-rank
+        qkv = qkv.reshape(b, n, hl, 3, d)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * (1.0 / np.sqrt(d)), k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(dt)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, hl * d)
+        part = jnp.dot(out, p["attn"]["proj"]["kernel"].astype(dt))
+        x = x + lax.psum(part, tp_axis) + p["attn"]["proj"]["bias"].astype(dt)
+        # MLP half: col-sharded fc1 → gelu → row-sharded fc2 → psum
+        y = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"], 1e-6, dt)
+        h = jnp.dot(y.astype(dt), p["mlp"]["fc1"]["kernel"].astype(dt))
+        h = h + p["mlp"]["fc1"]["bias"].astype(dt)
+        h = jax.nn.gelu(h, approximate=False)
+        part = jnp.dot(h, p["mlp"]["fc2"]["kernel"].astype(dt))
+        return x + lax.psum(part, tp_axis) + p["mlp"]["fc2"]["bias"].astype(dt)
+
+    def stage(params_bps, x):
+        def body(h, p):
+            return one_block(p, h), None
+
+        h, _ = lax.scan(body, x, params_bps)
+        return h
+
+    return stage
+
+
+def vit_tp_pipeline_logits_fn(
+    clf,
+    *,
+    mesh: Mesh,
+    n_microbatches: int = 8,
+    axis: str = PIPE_AXIS,
+    tp_axis: str = "model",
+    x_spec: P | None = None,
+) -> Callable[[dict, jax.Array], jax.Array]:
+    """vit_pipeline_logits_fn with Megatron TP inside each pipeline stage.
+
+    ``split_params`` from vit_split_params, sharded by
+    shard_pipeline_params_tp over a three-axis (data, model, pipe) mesh.
+    """
+    m = clf.module
+    if m.num_heads % mesh.shape[tp_axis]:
+        raise ValueError(
+            f"num_heads {m.num_heads} not divisible by {tp_axis} axis "
+            f"size {mesh.shape[tp_axis]}"
+        )
+    stage = vit_tp_stage_fn(m, tp_axis=tp_axis)
+    from robustart_tpu.models.layers import normalize_01
+
+    def logits_fn(split_params, images01):
+        x = normalize_01(images01, clf.mean, clf.std)
+        x = _vit_embed(m, split_params["outer"], x)
+        x = gpipe(
+            stage,
+            split_params["stages"],
+            x,
+            mesh=mesh,
+            n_microbatches=n_microbatches,
+            axis=axis,
+            x_spec=x_spec,
+            params_spec=pipeline_params_spec_tp(
+                split_params["stages"], pipe_axis=axis, model_axis=tp_axis
+            ),
+        )
+        return _vit_head(m, split_params["outer"], x)
+
+    return logits_fn

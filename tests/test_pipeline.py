@@ -299,3 +299,103 @@ def test_solver_pipeline_parallel_guards(tmp_path):
                evaluate_only=True)
     with pytest.raises(ValueError, match="ViT family"):
         s.build_model()
+
+
+class TestVitPipelineTP:
+    """Three-axis (data, model, pipe) composition: Megatron TP inside each
+    GPipe stage (parallel/pipeline.py vit_tp_*). Beyond the reference
+    (DP-only, SURVEY.md 2.11). Uses deit_small (6 heads — divisible by the
+    model-axis size 2; deit_tiny's 3 heads are not)."""
+
+    def _mesh3(self):
+        devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+        return Mesh(devs, ("data", "model", "pipe"))
+
+    @pytest.fixture(scope="class")
+    def tp_vit(self):
+        from robustart_tpu.models import create_classifier
+
+        return create_classifier("deit_small_b16_224", rng=0, input_size=32)
+
+    def test_tp_stage_logits_match_sequential(self, tp_vit):
+        tiny_vit = tp_vit
+        from robustart_tpu.parallel.pipeline import (
+            shard_pipeline_params_tp,
+            vit_tp_pipeline_logits_fn,
+        )
+
+        mesh = self._mesh3()
+        clf = tiny_vit
+        split = shard_pipeline_params_tp(
+            vit_split_params(clf.variables, clf.module.depth, 2), mesh
+        )
+        # qkv kernel leaf must actually be model-sharded on its column dim
+        spec = split["stages"]["attn"]["qkv"]["kernel"].sharding.spec
+        assert spec == P("pipe", None, None, "model"), spec
+        fn = jax.jit(
+            vit_tp_pipeline_logits_fn(
+                clf, mesh=mesh, n_microbatches=4, x_spec=P(None, "data")
+            )
+        )
+        x = jnp.asarray(
+            np.random.default_rng(8).uniform(0, 1, (8, 32, 32, 3)),
+            jnp.float32,
+        )
+        got = np.asarray(fn(split, x))
+        want = np.asarray(clf.apply_fn(clf.variables, x, train=False))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_tp_stage_train_step(self, tp_vit):
+        tiny_vit = tp_vit
+        from robustart_tpu.parallel.pipeline import (
+            shard_pipeline_params_tp,
+            vit_tp_pipeline_logits_fn,
+        )
+
+        mesh = self._mesh3()
+        clf = tiny_vit
+        depth = clf.module.depth
+        split = shard_pipeline_params_tp(
+            vit_split_params(clf.variables, depth, 2), mesh
+        )
+        fn = vit_tp_pipeline_logits_fn(
+            clf, mesh=mesh, n_microbatches=4, x_spec=P(None, "data")
+        )
+        x = jnp.asarray(
+            np.random.default_rng(9).uniform(0, 1, (8, 32, 32, 3)),
+            jnp.float32,
+        )
+        y = jnp.asarray(np.arange(8) % 10, jnp.int32)
+
+        def ce(logits, labels):
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(
+                logp, labels[:, None], axis=1))
+
+        @jax.jit
+        def step(split, x, y):
+            loss, grads = jax.value_and_grad(
+                lambda s: ce(fn(s, x), y)
+            )(split)
+            new = jax.tree.map(lambda p, g: p - 0.01 * g, split, grads)
+            return loss, grads, new
+
+        loss_p, grads_p, new = step(split, x, y)
+
+        def seq_loss(variables):
+            return ce(clf.apply_fn(variables, x, train=False), y)
+
+        loss_s, grads_s = jax.value_and_grad(seq_loss)(clf.variables)
+        np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-5)
+        gp = unsplit_stages(grads_p["stages"])
+        for i in (0, depth - 1):
+            want = np.asarray(
+                grads_s["params"][f"block{i}"]["attn"]["qkv"]["kernel"]
+            )
+            got = np.asarray(
+                jax.tree.map(lambda v: v[i], gp)["attn"]["qkv"]["kernel"]
+            )
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+        # updated params keep their (pipe, model) shardings
+        spec = new["stages"]["attn"]["qkv"]["kernel"].sharding.spec
+        assert spec == P("pipe", None, None, "model"), spec
