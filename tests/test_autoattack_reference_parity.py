@@ -293,3 +293,77 @@ def test_mim_robust_accuracy_agreement(shared_model_and_data, monkeypatch):
                 adv_j):
         assert np.abs(adv - xte).max() <= eps * 1.001
         assert adv.min() >= 0.0 and adv.max() <= 1.0
+
+
+def test_rand_version_eot_robust_accuracy_agreement(shared_model_and_data,
+                                                    monkeypatch):
+    """Head-to-head `rand` version (APGD-CE + APGD-DLR with EOT gradient
+    averaging, reference autoattack.py:281-284) on the shared-weights
+    model. EOT budget reduced identically on both sides (20 → 5 passes) —
+    the semantics under test is the EOT average + the rand cascade
+    bookkeeping, not the stochastic-defense use case (the model is
+    deterministic, so disagreement isolates implementation drift)."""
+    net, clf, xte, yte = shared_model_and_data
+    aa_t = _torch_autoattack(net, "Linf", EPS_LINF, monkeypatch)
+    aa_t.version = "rand"
+    aa_t.attacks_to_run = ["apgd-ce", "apgd-dlr"]
+    aa_t.apgd.n_restarts = 1
+    aa_t.apgd.eot_iter = 5
+    aa_t.apgd.n_iter = N_ITER
+    x_t = torch.tensor(xte.transpose(0, 3, 1, 2))
+    adv_t = aa_t.run_standard_evaluation(x_t, torch.tensor(yte), bs=N_EVAL)
+    racc_t = _torch_racc(net, adv_t, yte)
+
+    aa_j = AutoAttack(
+        clf, norm="Linf", eps=EPS_LINF, version="rand", seed=0,
+        n_iter=N_ITER, n_target_classes=N_TGT,
+        square_n_queries=N_QUERIES,
+    )
+    aa_j.eot_iter = 5
+    adv_j = aa_j.run_standard_evaluation(xte, yte, bs=N_EVAL)
+    racc_j = _jax_racc(clf, adv_j, yte)
+
+    assert abs(racc_t - racc_j) <= 0.125, (racc_t, racc_j)
+    # eps-ball containment for the rand cascade too
+    for adv in (np.asarray(adv_t.numpy().transpose(0, 2, 3, 1)), adv_j):
+        delta = np.abs(adv - xte)
+        assert delta.max() <= EPS_LINF * 1.001
+
+
+def test_pgd_l1_art_semantics_cross_check(shared_model_and_data):
+    """Cross-check pgd_l1 against the reference's ART wrapper semantics
+    (reference attack.py:44-49: ProjectedGradientDescentPyTorch norm=1,
+    num_random_init=1, normalized preprocessing). ART is not installed in
+    this environment (zero egress) — the test auto-activates the day it
+    is; until then the L1 path is covered by the formula-golden tests in
+    test_autoattack.py (L1 projection/steps) and test_attacks.py."""
+    art = pytest.importorskip("art")  # noqa: F841
+    from art.attacks.evasion import ProjectedGradientDescentPyTorch
+    from art.estimators.classification import PyTorchClassifier
+
+    net, clf, xte, yte = shared_model_and_data
+    classifier = PyTorchClassifier(
+        model=net, loss=nn.CrossEntropyLoss(),
+        input_shape=(3, SZ, SZ), nb_classes=NCLS, clip_values=(0, 1),
+        preprocessing=(MEAN, STD), device_type="cpu",
+    )
+    eps_l1 = 8.0
+    attack = ProjectedGradientDescentPyTorch(
+        estimator=classifier, norm=1, eps=eps_l1, eps_step=eps_l1 / 4,
+        max_iter=N_ITER, num_random_init=1, batch_size=N_EVAL,
+        verbose=False,
+    )
+    adv_t = attack.generate(
+        x=xte.transpose(0, 3, 1, 2), y=yte
+    ).transpose(0, 2, 3, 1)
+    racc_t = _jax_racc(clf, adv_t, yte)
+
+    from robustart_tpu.attacks.gradient import pgd_l1
+
+    adv_j = pgd_l1(
+        clf.apply_fn, clf.variables, jnp.asarray(xte), jnp.asarray(yte),
+        jax.random.key(0), eps=eps_l1, eps_step=eps_l1 / 4,
+        max_iter=N_ITER, num_random_init=1,
+    )
+    racc_j = _jax_racc(clf, np.asarray(adv_j), yte)
+    assert abs(racc_t - racc_j) <= 0.125, (racc_t, racc_j)
