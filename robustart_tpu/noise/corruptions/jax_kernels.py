@@ -169,9 +169,37 @@ def gaussian_noise(x, key, severity=1):
     return jnp.clip(x + c * jax.random.normal(key, x.shape, x.dtype), 0.0, 1.0)
 
 
+def _poisson_inverse_cdf(key, lam: jax.Array, kmax: int) -> jax.Array:
+    """Poisson via CDF inversion: X = min{k : U < CDF_k(lam)}, exact for the
+    bounded-rate case (lam ≤ x·c ≤ c here).
+
+    jax.random.poisson's Knuth/rejection sampler is while_loop-bound and
+    runs ~10× slower than the forward on TPU (measured: shot_noise was the
+    4th-slowest corruption at 1.5k img/s while gaussian_noise ran 12.6k).
+    This is a straight fori_loop of fused elementwise ops: p_{k+1} =
+    p_k·lam/(k+1), cdf accumulates, one compare per term. ``kmax`` bounds
+    the support: P(X ≥ lam + 12√lam) < 1e-26, far below f32 resolution.
+    """
+    u = jax.random.uniform(key, lam.shape, jnp.float32)
+    p0 = jnp.exp(-lam)
+
+    def body(k, carry):
+        p, cdf, n = carry
+        n = n + (u >= cdf).astype(jnp.float32)
+        p = p * lam / (k + 1.0)
+        return p, cdf + p, n
+
+    _, _, n = jax.lax.fori_loop(
+        0, kmax, body, (p0, p0, jnp.zeros_like(lam))
+    )
+    return n
+
+
 def shot_noise(x, key, severity=1):
     c = float([60, 25, 12, 5, 3][severity - 1])
-    return jnp.clip(jax.random.poisson(key, x * c, x.shape).astype(x.dtype) / c, 0.0, 1.0)
+    kmax = int(c + 12.0 * math.sqrt(c) + 12.0)
+    n = _poisson_inverse_cdf(key, x.astype(jnp.float32) * c, kmax)
+    return jnp.clip(n.astype(x.dtype) / c, 0.0, 1.0)
 
 
 def impulse_noise(x, key, severity=1):
@@ -211,12 +239,24 @@ def glass_blur(x, key, severity=1):
     interior = (
         (rows > d) & (rows < h - d) & (cols > d) & (cols < w - d)
     )[..., None]
+    # The swap is a 2D gather with BOUNDED offsets (|off| ≤ d ≤ 4), so it
+    # runs as (2d)² shifted SELECTS instead: one equality mask per offset
+    # pair picks the rolled image. Bitwise-identical to the gather (masks
+    # are disjoint and exhaustive over randint's [-d, d) range; the clip in
+    # the gather form never binds inside ``interior``), but it's pure
+    # VPU roll/select work — the gather ran at 429 img/s on chip, ~35×
+    # under the clean forward.
     for i in range(iters):
         key, sub = jax.random.split(key)
         off = jax.random.randint(sub, (h, w, 2), -d, d)
-        rr = jnp.clip(rows + off[..., 0], 0, h - 1)
-        cc = jnp.clip(cols + off[..., 1], 0, w - 1)
-        x = jnp.where(interior, x[rr, cc, :], x)
+        code = (off[..., 0] + d) * (2 * d) + (off[..., 1] + d)
+        acc = jnp.zeros_like(x)
+        for a in range(-d, d):
+            for b in range(-d, d):
+                t = (a + d) * (2 * d) + (b + d)
+                m = (code == t)[..., None]
+                acc = acc + jnp.where(m, jnp.roll(x, (-a, -b), (0, 1)), 0.0)
+        x = jnp.where(interior, acc, x)
     return jnp.clip(gaussian_blur(x, float(sigma)), 0.0, 1.0)
 
 
@@ -394,15 +434,26 @@ def _chamfer_distance(zero_mask: jax.Array, cap: float, iters: int) -> jax.Array
 
 
 def _equalize_hist(u8: jax.Array) -> jax.Array:
-    """cv2.equalizeHist: histogram-equalize a (H, W) uint8-valued array."""
-    flat = u8.reshape(-1).astype(jnp.int32)
-    hist = jnp.zeros((256,), jnp.float32).at[flat].add(1.0)
+    """cv2.equalizeHist: histogram-equalize a (H, W) uint8-valued array.
+
+    TPU-shaped: the histogram SCATTER (.at[].add) and the LUT GATHER both
+    become one-hot contractions — the scatter serialized on chip and made
+    spatter the 5th-slowest corruption (705 img/s measured). The one-hot
+    (N, 256) never hits HBM twice: XLA fuses it into both reductions.
+    Exact: one nonzero per row, integer values ≤ 255 (bf16-representable),
+    so both contractions are exact.
+    """
+    flat = u8.reshape(-1).astype(jnp.float32)
+    bins = jnp.arange(256, dtype=jnp.float32)
+    onehot = (flat[:, None] == bins[None, :])
+    hist = jnp.sum(onehot, axis=0, dtype=jnp.float32)
     cdf = jnp.cumsum(hist)
     cdf_min = cdf[jnp.argmax(hist > 0)]
     total = flat.shape[0]
     lut = jnp.round((cdf - cdf_min) / jnp.maximum(total - cdf_min, 1.0) * 255.0)
     lut = jnp.clip(lut, 0, 255)
-    return lut[flat].reshape(u8.shape)
+    out = onehot.astype(jnp.bfloat16) @ lut.astype(jnp.bfloat16)
+    return out.astype(jnp.float32).reshape(u8.shape)
 
 
 def spatter(x, key, severity=1):

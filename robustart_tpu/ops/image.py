@@ -340,13 +340,26 @@ def motion_blur(x: jax.Array, radius: float, sigma: float, angle_deg: float) -> 
     """
     dx, dy, w = motion_blur_offsets(float(radius), float(sigma), float(angle_deg))
     h, wdt = x.shape[-3], x.shape[-2]
-    rows = jnp.arange(h)[:, None]
-    cols = jnp.arange(wdt)[None, :]
+    # the taps have STATIC integer offsets, so each is an edge-padded
+    # static SLICE — identical to the index-clip gather form (pad 'edge'
+    # replicates the boundary exactly like clip), but pure slice/FMA work.
+    # The gather form ran at 466 img/s on chip and its fusion with the
+    # int8 conv net crashed the XLA TPU compiler (HTTP 500, round-4 sweep).
+    py, px = int(np.abs(dy).max()), int(np.abs(dx).max())
+    lead = x.ndim - 3
+    xp = jnp.pad(
+        x,
+        (((0, 0),) * lead + ((py, py), (px, px), (0, 0))),
+        mode="edge",
+    )
     out = jnp.zeros_like(x)
     for ddx, ddy, wv in zip(dx, dy, w):
-        r = jnp.clip(rows + ddy, 0, h - 1)
-        c = jnp.clip(cols + ddx, 0, wdt - 1)
-        out = out + wv * x[..., r, c, :]
+        shifted = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(xp, py + int(ddy), py + int(ddy) + h,
+                                 axis=lead),
+            px + int(ddx), px + int(ddx) + wdt, axis=lead + 1,
+        )
+        out = out + wv * shifted
     return out
 
 

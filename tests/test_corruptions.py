@@ -142,3 +142,72 @@ def test_pil_image_input(img_u8):
     out = corrupt(Image.fromarray(img_u8), severity=1,
                   corruption_name="brightness", seed=0)
     assert out.shape == img_u8.shape and out.dtype == np.uint8
+
+
+import jax.numpy as jnp  # noqa: E402 (used by the equivalence tests below)
+
+
+class TestTpuShapedKernelEquivalence:
+    """The round-4 TPU reshapes (shifted-select glass_blur, one-hot
+    equalizeHist, inverse-CDF poisson) must match the straightforward
+    formulations they replaced."""
+
+    def test_glass_blur_matches_gather_form(self, img_u8):
+        # reproduce one shuffle iteration with the ORIGINAL gather formula
+        # and assert the shipped kernel's shifted-select output is bitwise
+        # equal for the full corruption at a gather-visible severity
+        from robustart_tpu.noise.corruptions import jax_kernels as K
+        from robustart_tpu.ops.image import gaussian_blur
+
+        x01 = jnp.asarray(img_u8, jnp.float32) / 255.0
+        key = jax.random.key(7)
+        got = np.asarray(K.glass_blur(x01, key, severity=3))
+
+        # oracle: the reference's gather loop
+        sigma, d, iters = (1, 2, 3)
+        h, w = x01.shape[0], x01.shape[1]
+        x = K._uint8_roundtrip(gaussian_blur(x01, float(sigma)))
+        rows = jnp.arange(h)[:, None]
+        cols = jnp.arange(w)[None, :]
+        interior = (
+            (rows > d) & (rows < h - d) & (cols > d) & (cols < w - d)
+        )[..., None]
+        k = key
+        for _ in range(iters):
+            k, sub = jax.random.split(k)
+            off = jax.random.randint(sub, (h, w, 2), -d, d)
+            rr = jnp.clip(rows + off[..., 0], 0, h - 1)
+            cc = jnp.clip(cols + off[..., 1], 0, w - 1)
+            x = jnp.where(interior, x[rr, cc, :], x)
+        want = np.asarray(jnp.clip(gaussian_blur(x, float(sigma)), 0, 1))
+        np.testing.assert_array_equal(got, want)
+
+    def test_equalize_hist_matches_cv2(self, img_u8):
+        cv2 = pytest.importorskip("cv2")
+        from robustart_tpu.noise.corruptions.jax_kernels import _equalize_hist
+
+        gray = np.asarray(img_u8)[..., 0].astype(np.uint8)
+        want = cv2.equalizeHist(gray).astype(np.float32)
+        got = np.asarray(_equalize_hist(jnp.asarray(gray, jnp.float32)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_inverse_cdf_poisson_statistics(self):
+        from robustart_tpu.noise.corruptions.jax_kernels import (
+            _poisson_inverse_cdf,
+        )
+
+        for lam in (0.5, 3.0, 12.0, 60.0):
+            lam_arr = jnp.full((20000,), lam, jnp.float32)
+            kmax = int(lam + 12 * np.sqrt(lam) + 12)
+            n = np.asarray(
+                _poisson_inverse_cdf(jax.random.key(3), lam_arr, kmax)
+            )
+            # mean and variance of Poisson(lam) are both lam
+            se = np.sqrt(lam / len(n))
+            assert abs(n.mean() - lam) < 5 * se, (lam, n.mean())
+            assert abs(n.var() / lam - 1.0) < 0.1, (lam, n.var())
+        # lam = 0 must give exactly 0
+        z = np.asarray(
+            _poisson_inverse_cdf(jax.random.key(0), jnp.zeros((100,)), 8)
+        )
+        assert (z == 0).all()
