@@ -534,17 +534,70 @@ def detect_family(module) -> str:
     raise ValueError(f"no torch-conversion rules for module family {cls!r}")
 
 
-def load_torch_checkpoint(path: str, classifier) -> Any:
-    """Load + convert a torch checkpoint for a Classifier; returns variables."""
+def load_torch_checkpoint(
+    path: str, classifier, clip_zero_shot: dict | None = None
+) -> Any:
+    """Load + convert a torch checkpoint for a Classifier; returns variables.
+
+    ``clip_zero_shot`` (CLIP vision classifiers only) makes a RAW OpenAI
+    checkpoint (vision+text towers, reference config_clip_openai.yaml)
+    self-sufficient: the ``zero_shot_weights`` head is computed from the
+    ckpt's own text tower over the 80-prompt ensemble. Keys:
+
+    - ``weights``: path to a precomputed ``.npz``/``.npy`` (from
+      ``python -m robustart_tpu.tools.clip_zero_shot``), or
+    - ``classnames``: text file (one class name per line) +
+      ``bpe``: the CLIP BPE merges file (``bpe_simple_vocab_16e6.txt.gz``).
+    """
     state_dict = read_torch_state_dict(path)
     rule = resolve_rule(classifier.module)
     variables, missing = convert_state_dict(
         state_dict, classifier.variables, rule,
         head_dim=model_head_dim(classifier.module),
     )
+    if (clip_zero_shot
+            and type(classifier.module).__name__ == "CLIPVisionClassifier"):
+        zs = _resolve_clip_zero_shot(state_dict, clip_zero_shot)
+        want = variables["params"]["zero_shot_weights"].shape
+        if zs.shape != want:
+            raise ValueError(
+                f"zero_shot_weights shape {zs.shape} != model head {want}"
+            )
+        import jax.numpy as jnp
+
+        params = dict(variables["params"])
+        params["zero_shot_weights"] = jnp.asarray(zs)
+        variables = {**variables, "params": params}
+        missing = [m for m in missing if "zero_shot" not in m]
+        logger.info("clip zero-shot head: %s classes computed/loaded",
+                    zs.shape[1])
     if missing:
         logger.warning(
             "torch ckpt %s: %d tensors not converted (first: %s)",
             path, len(missing), missing[:3],
         )
     return variables
+
+
+def _resolve_clip_zero_shot(state_dict, spec: dict) -> np.ndarray:
+    """(embed_dim, n_classes) head from a precomputed file or the ckpt's
+    own text tower (models/clip_text.py)."""
+    if spec.get("weights"):
+        w = np.load(spec["weights"])
+        if hasattr(w, "files"):  # npz
+            w = w[w.files[0]]
+        return np.asarray(w, np.float32)
+    from robustart_tpu.models.clip_text import (
+        SimpleTokenizer,
+        compute_zero_shot_weights,
+    )
+
+    with open(spec["classnames"]) as f:
+        classnames = [ln.strip() for ln in f if ln.strip()]
+    tok = SimpleTokenizer(spec["bpe"])
+    # OpenAI text towers use width//64 heads; ``num_heads`` overrides for
+    # non-standard towers
+    return compute_zero_shot_weights(
+        state_dict, classnames, tokenizer=tok,
+        num_heads=spec.get("num_heads"),
+    )

@@ -165,7 +165,8 @@ def newest_checkpoint(ckpt_dir: str) -> str:
     return max((osp.join(ckpt_dir, f) for f in cands), key=osp.getmtime)
 
 
-def load_eval_variables(path: str, classifier, use_ema: bool | None = None):
+def load_eval_variables(path: str, classifier, use_ema: bool | None = None,
+                        clip_zero_shot: dict | None = None):
     """Load eval weights from OUR msgpack layout or a FOREIGN torch
     checkpoint, mirroring the reference's own resume tolerance — dicts keyed
     ``state_dict``/``model``/``net`` or a raw state dict, with optional
@@ -179,7 +180,8 @@ def load_eval_variables(path: str, classifier, use_ema: bool | None = None):
         from robustart_tpu.models.torch_convert import load_torch_checkpoint
 
         logger.info("loading foreign torch checkpoint %s", path)
-        return load_torch_checkpoint(path, classifier)
+        return load_torch_checkpoint(path, classifier,
+                                     clip_zero_shot=clip_zero_shot)
     ckpt = load_checkpoint(path)
     if "variables" not in ckpt and "params" in ckpt:
         logger.info("raw-variables checkpoint layout detected (%s)", path)
@@ -196,7 +198,12 @@ def load_pretrain_into(classifier, saver_cfg, use_ema: bool | None = None) -> No
     if not path:
         return
     ignore = pretrain.get("ignore") or {}
-    ckpt_vars = load_eval_variables(path, classifier, use_ema)
+    # ``saver.pretrain.clip_zero_shot``: {weights} or {classnames, bpe} —
+    # builds the zero-shot head from a raw OpenAI CLIP ckpt (text tower)
+    ckpt_vars = load_eval_variables(
+        path, classifier, use_ema,
+        clip_zero_shot=pretrain.get("clip_zero_shot"),
+    )
     classifier.variables = apply_pretrain(
         classifier.variables,
         ckpt_vars,
