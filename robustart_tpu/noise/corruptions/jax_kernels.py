@@ -45,6 +45,7 @@ from robustart_tpu.ops.image import (
     hsv_to_rgb,
     map_coordinates_bilinear_reflect,
     motion_blur,
+    motion_blur_bank,
     resize,
     resize_matrix,
     rgb_to_gray,
@@ -183,15 +184,15 @@ def _poisson_inverse_cdf(key, lam: jax.Array, kmax: int) -> jax.Array:
     u = jax.random.uniform(key, lam.shape, jnp.float32)
     p0 = jnp.exp(-lam)
 
-    def body(k, carry):
-        p, cdf, n = carry
+    # UNROLLED (kmax is small and static): a lax.fori_loop here writes the
+    # (p, cdf, n) carry to HBM every iteration (~1.5 GB/iter at batch 512,
+    # chip-measured 1.9k img/s); straight-line elementwise code fuses into
+    # one VMEM-resident pass (the whole chain is ~5 ops/term).
+    p, cdf, n = p0, p0, jnp.zeros_like(lam)
+    for k in range(kmax):
         n = n + (u >= cdf).astype(jnp.float32)
-        p = p * lam / (k + 1.0)
-        return p, cdf + p, n
-
-    _, _, n = jax.lax.fori_loop(
-        0, kmax, body, (p0, p0, jnp.zeros_like(lam))
-    )
+        p = p * (lam * (1.0 / (k + 1.0)))
+        cdf = cdf + p
     return n
 
 
@@ -270,7 +271,10 @@ def motion_blur_c(x, key, severity=1):
     radius, sigma = [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)][severity - 1]
     angle = jax.random.uniform(key, (), jnp.float32, -45.0, 45.0)
     # randomize among a static bank of angles (motion kernel offsets are
-    # host-precomputed per angle; pick nearest of 32 to stay jittable)
+    # host-precomputed per angle; pick nearest of 32 to stay jittable).
+    # union-taps formulation (ops.image.motion_blur_bank): a lax.switch
+    # over per-angle blurs executes all 32 branches under vmap and its
+    # fusion with the int8 ResNet crashed the XLA TPU compiler.
     n_angles = 32
     bank = np.linspace(-45.0, 45.0, n_angles)
     idx = jnp.clip(
@@ -278,13 +282,7 @@ def motion_blur_c(x, key, severity=1):
         0,
         n_angles - 1,
     )
-    branches = [
-        functools.partial(
-            lambda img, a: motion_blur(img, float(radius), float(sigma), a), a=a
-        )
-        for a in bank
-    ]
-    out = jax.lax.switch(idx, branches, x)
+    out = motion_blur_bank(x, idx, float(radius), float(sigma), tuple(bank))
     return jnp.clip(out, 0.0, 1.0)
 
 
@@ -355,7 +353,23 @@ def frost(x, key, severity=1):
     idx = jax.random.randint(k1, (), 0, bank.shape[0])
     ys = jax.random.randint(k2, (), 0, bank.shape[1] - h)
     xs = jax.random.randint(k3, (), 0, bank.shape[2] - w)
-    crop = jax.lax.dynamic_slice(bank[idx], (ys, xs, 0), (h, w, 3))
+    # random crop as one-hot MXU contractions: a vmapped dynamic_slice is a
+    # per-image gather (chip: 1.9k img/s, ~240 ms/512 overhead to move
+    # 600 KB/image). Texture pick = 6 exact masked adds; the (h,S)/(w,S)
+    # one-hot row/col matmuls are exact at HIGHEST precision (single
+    # nonzero product per output, bf16x6 reassembles the f32 operand).
+    sel = jnp.zeros(bank.shape[1:], jnp.float32)
+    for m in range(bank.shape[0]):
+        sel = sel + jnp.where(idx == m, bank[m], 0.0)
+    s_full = bank.shape[1]
+    my = (jnp.arange(s_full)[None, :]
+          == (ys + jnp.arange(h)[:, None])).astype(jnp.float32)
+    mx = (jnp.arange(s_full)[None, :]
+          == (xs + jnp.arange(w)[:, None])).astype(jnp.float32)
+    rows = jnp.einsum("ir,rkc->ikc", my, sel,
+                      precision=jax.lax.Precision.HIGHEST)
+    crop = jnp.einsum("jk,ikc->ijc", mx, rows,
+                      precision=jax.lax.Precision.HIGHEST)
     return jnp.clip(ca * x + cb * crop, 0.0, 1.0)
 
 
@@ -380,13 +394,8 @@ def snow(x, key, severity=1):
         jnp.round((angle + 135.0) / 90.0 * (n_angles - 1)).astype(jnp.int32),
         0, n_angles - 1,
     )
-    branches = [
-        functools.partial(
-            lambda img, a: motion_blur(img, float(c[4]), float(c[5]), a), a=a
-        )
-        for a in bank
-    ]
-    layer = jax.lax.switch(idx, branches, layer)
+    layer = motion_blur_bank(layer, idx, float(c[4]), float(c[5]),
+                             tuple(bank))
     layer = _uint8_roundtrip(layer)
     gray_boost = rgb_to_gray(x)[..., None] * 1.5 + 0.5
     x = c[6] * x + (1 - c[6]) * jnp.maximum(x, gray_boost)
@@ -546,6 +555,64 @@ def pixelate(x, key, severity=1):
     return jnp.clip(up, 0.0, 1.0)
 
 
+# max (2D+1)^2 masked-slice taps per warp before the banded formulation's
+# O(D^2) VPU cost loses to the XLA gather (chip-measured crossover region;
+# severity-5 displacement D=30 -> 3721 taps is the largest accepted)
+ELASTIC_TAPS_MAX = 4000
+
+
+@functools.lru_cache(maxsize=None)
+def _affine_band_bound(h: int, w: int, cc: float) -> float | None:
+    """Static sup of the inverse-affine warp displacement for elastic.
+
+    The random affine maps three anchor points ``pts1`` to ``pts1 + U`` with
+    ``|U|_inf <= cc`` per coordinate; the warp evaluates the INVERSE map at
+    every output pixel p. Its displacement is affine with values ``-U_i`` at
+    the perturbed anchors, so ``|disp(p)|_inf <= cc * sum_i |mu_i(p)|`` with
+    mu the barycentrics w.r.t. the perturbed triangle. This returns a sound
+    sup over ALL draws: numerators/denominator are bounded with
+    ``|cross(u, v)| <= |u||v|`` perturbation terms, and the convex bound is
+    maximized over the four image corners. Returns None when the
+    denominator bound is non-positive (cc too large vs the anchor triangle
+    — severities 1-2), i.e. no finite static band exists.
+    """
+    s = float(min(h, w) // 3)
+    cyc, cxc = h // 2, w // 2
+    pts1 = np.array(
+        [[cxc + s, cyc + s], [cxc + s, cyc - s], [cxc - s, cyc - s]],
+        np.float64,
+    )
+    e1, e2 = pts1[1] - pts1[0], pts1[2] - pts1[0]
+    a0 = abs(e1[0] * e2[1] - e1[1] * e2[0])
+    den = (a0
+           - 2 * math.sqrt(2) * cc
+           * (np.linalg.norm(e1) + np.linalg.norm(e2))
+           - 8 * cc * cc)
+    if den <= 0:
+        return None
+    worst = 0.0
+    for px, py in ((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1)):
+        p = np.array([px, py], np.float64)
+        tot = 0.0
+        for i in range(3):
+            aj = pts1[(i + 1) % 3] - p
+            ak = pts1[(i + 2) % 3] - p
+            tot += (abs(aj[0] * ak[1] - aj[1] * ak[0])
+                    + math.sqrt(2) * cc
+                    * (np.linalg.norm(aj) + np.linalg.norm(ak))
+                    + 2 * cc * cc)
+        worst = max(worst, tot / den)
+    return cc * worst
+
+
+def _band(d: float | None) -> tuple[int, int] | None:
+    """(D, D) offset band for the masked-slice warp, or None (gather)."""
+    if d is None:
+        return None
+    di = int(math.ceil(d))
+    return (di, di) if (2 * di + 1) ** 2 <= ELASTIC_TAPS_MAX else None
+
+
 def elastic_transform(x, key, severity=1):
     # constants keep the reference's 244 quirk (corruptions.py:392-396)
     ca, cb, cc = [
@@ -582,7 +649,17 @@ def elastic_transform(x, key, severity=1):
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     coords = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)  # (h,w,3)
     srcpts = coords @ minv_t  # (h,w,2) -> (x_src, y_src)
-    x_aff = map_coordinates_bilinear_reflect(x, srcpts[..., 1], srcpts[..., 0])
+    # the warps dominated the sweep (chip: 170 img/s, 88x under clean).
+    # Both displacement fields have sound STATIC bounds at severities 3-5,
+    # so the gathers lower to banded masked slices (ops/image.py
+    # _map_coords_banded, bitwise-equal): the affine via the barycentric
+    # bound, the smoothed field by |field| <= 1 (positive normalized blur
+    # kernel) -> |disp| <= ca. Severities 1-2 (cc, ca too large) keep the
+    # gather path.
+    x_aff = map_coordinates_bilinear_reflect(
+        x, srcpts[..., 1], srcpts[..., 0],
+        max_offset=_band(_affine_band_bound(h, w, float(cc))),
+    )
     del m_t
 
     # gaussian-smoothed random displacement field, sigma=cb, truncate=3
@@ -590,7 +667,9 @@ def elastic_transform(x, key, severity=1):
     dy = jax.random.uniform(k3, (h, w), jnp.float32, -1.0, 1.0)
     dx = gaussian_blur(dx[..., None], float(cb), truncate=3.0)[..., 0] * ca
     dy = gaussian_blur(dy[..., None], float(cb), truncate=3.0)[..., 0] * ca
-    out = map_coordinates_bilinear_reflect(x_aff, yy + dy, xx + dx)
+    out = map_coordinates_bilinear_reflect(
+        x_aff, yy + dy, xx + dx, max_offset=_band(float(ca)),
+    )
     return jnp.clip(out, 0.0, 1.0)
 
 

@@ -191,6 +191,97 @@ class TestTpuShapedKernelEquivalence:
         got = np.asarray(_equalize_hist(jnp.asarray(gray, jnp.float32)))
         np.testing.assert_array_equal(got, want)
 
+    def test_banded_warp_matches_gather_bitwise(self):
+        from robustart_tpu.ops.image import map_coordinates_bilinear_reflect
+
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.uniform(0, 1, (40, 56, 3)), jnp.float32)
+        yy, xx = jnp.meshgrid(jnp.arange(40, dtype=jnp.float32),
+                              jnp.arange(56, dtype=jnp.float32),
+                              indexing="ij")
+        for d in (1, 5, 9):
+            cy = yy + jnp.asarray(rng.uniform(-d, d, (40, 56)), jnp.float32)
+            cx = xx + jnp.asarray(rng.uniform(-d, d, (40, 56)), jnp.float32)
+            want = np.asarray(map_coordinates_bilinear_reflect(img, cy, cx))
+            got = np.asarray(map_coordinates_bilinear_reflect(
+                img, cy, cx, max_offset=(d, d)))
+            np.testing.assert_array_equal(got, want, err_msg=f"d={d}")
+        # integer coordinates (fractional part exactly 0) stay exact
+        cyi = jnp.clip(jnp.round(yy + 3), 0, 42)
+        cxi = xx
+        want = np.asarray(map_coordinates_bilinear_reflect(img, cyi, cxi))
+        got = np.asarray(map_coordinates_bilinear_reflect(
+            img, cyi, cxi, max_offset=(4, 1)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_elastic_banded_matches_gather_bitwise(self):
+        """elastic_transform severities 3-5 route both warps through the
+        banded masked-slice path at 224 px; output must be bitwise equal to
+        the gather formulation (same keys)."""
+        from robustart_tpu.noise.corruptions import jax_kernels as K
+        from robustart_tpu.ops import image as I
+
+        assert K._affine_band_bound(224, 224, 244 * 0.02) is not None
+        # severities 1-2 have no finite static band (cc too large)
+        assert K._affine_band_bound(224, 224, 244 * 0.1) is None
+        assert K._affine_band_bound(224, 224, 244 * 0.2) is None
+
+        rng = np.random.default_rng(5)
+        x01 = jnp.asarray(rng.uniform(0, 1, (224, 224, 3)), jnp.float32)
+        for sev in (3, 5):
+            got = np.asarray(K.elastic_transform(
+                x01, jax.random.key(sev), severity=sev))
+            # oracle: force the gather path by disabling the band gate
+            orig = K.ELASTIC_TAPS_MAX
+            K.ELASTIC_TAPS_MAX = 0
+            try:
+                want = np.asarray(K.elastic_transform(
+                    x01, jax.random.key(sev), severity=sev))
+            finally:
+                K.ELASTIC_TAPS_MAX = orig
+            np.testing.assert_array_equal(got, want, err_msg=f"sev={sev}")
+
+    def test_frost_onehot_crop_matches_dynamic_slice(self):
+        """frost's one-hot MXU crop == the dynamic_slice form bitwise."""
+        from robustart_tpu.noise.corruptions import jax_kernels as K
+
+        rng = np.random.default_rng(0)
+        x01 = jnp.asarray(rng.uniform(0, 1, (224, 224, 3)), jnp.float32)
+
+        def frost_slice(x, key, severity):
+            ca, cb = [(1, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7),
+                      (0.6, 0.75)][severity - 1]
+            h, w = x.shape[0], x.shape[1]
+            bank = jnp.asarray(K._frost_bank()) / 255.0
+            k1, k2, k3 = jax.random.split(key, 3)
+            idx = jax.random.randint(k1, (), 0, bank.shape[0])
+            ys = jax.random.randint(k2, (), 0, bank.shape[1] - h)
+            xs = jax.random.randint(k3, (), 0, bank.shape[2] - w)
+            crop = jax.lax.dynamic_slice(bank[idx], (ys, xs, 0), (h, w, 3))
+            return jnp.clip(ca * x + cb * crop, 0.0, 1.0)
+
+        for sev in (1, 5):
+            for seed in (0, 3):
+                got = np.asarray(K.frost(x01, jax.random.key(seed), sev))
+                want = np.asarray(frost_slice(x01, jax.random.key(seed), sev))
+                np.testing.assert_array_equal(got, want,
+                                              err_msg=f"sev={sev}")
+
+    def test_motion_blur_bank_matches_branch_blur(self):
+        """union-taps motion blur == the direct per-angle kernel (allclose;
+        summation order differs across the union support)."""
+        from robustart_tpu.ops.image import motion_blur, motion_blur_bank
+
+        rng = np.random.default_rng(1)
+        x01 = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)), jnp.float32)
+        bank = tuple(np.linspace(-45.0, 45.0, 32))
+        for i in (0, 13, 31):
+            want = np.asarray(motion_blur(x01, 15.0, 8.0, bank[i]))
+            got = np.asarray(
+                motion_blur_bank(x01, jnp.int32(i), 15.0, 8.0, bank))
+            np.testing.assert_allclose(got, want, atol=3e-6,
+                                       err_msg=f"angle {bank[i]}")
+
     def test_inverse_cdf_poisson_statistics(self):
         from robustart_tpu.noise.corruptions.jax_kernels import (
             _poisson_inverse_cdf,
