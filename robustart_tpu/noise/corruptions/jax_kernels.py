@@ -555,9 +555,11 @@ def pixelate(x, key, severity=1):
     return jnp.clip(up, 0.0, 1.0)
 
 
-# max (2D+1)^2 masked-slice taps per warp before the banded formulation's
-# O(D^2) VPU cost loses to the XLA gather (chip-measured crossover region;
-# severity-5 displacement D=30 -> 3721 taps is the largest accepted)
+# max (2D+1)^2 band size for which elastic passes a static bound down to
+# the warp at all (ops/image.py routes bounded bands to masked slices or a
+# single (2,2,C)-patch gather by size; unbounded falls back to the plain
+# gather). severity-5 displacement D=30 -> 3721 taps is the largest band
+# any severity produces; 0 is the test hook that forces the gather oracle.
 ELASTIC_TAPS_MAX = 4000
 
 
@@ -649,13 +651,18 @@ def elastic_transform(x, key, severity=1):
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     coords = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)  # (h,w,3)
     srcpts = coords @ minv_t  # (h,w,2) -> (x_src, y_src)
-    # the warps dominated the sweep (chip: 170 img/s, 88x under clean).
-    # Both displacement fields have sound STATIC bounds at severities 3-5,
-    # so the gathers lower to banded masked slices (ops/image.py
-    # _map_coords_banded, bitwise-equal): the affine via the barycentric
-    # bound, the smoothed field by |field| <= 1 (positive normalized blur
-    # kernel) -> |disp| <= ca. Severities 1-2 (cc, ca too large) keep the
-    # gather path.
+    # the warps dominate the corruption sweep (chip: ~170 img/s, ~88x
+    # under clean — benchmarks/corruptions.json). Both displacement fields
+    # have sound STATIC bounds at severities 3-5 (the affine via the
+    # barycentric bound, the smoothed field by |field| <= 1 since the blur
+    # kernel is positive and normalized -> |disp| <= ca), and the bound is
+    # passed down so ops/image.py can pick a faster exact form — but on
+    # this chip every such form measured or crashed worse than the plain
+    # gather at these band sizes (729-3721 taps: unrolled masked slices
+    # crash the compile helper, multi-element-slice gathers crash it too,
+    # single-row takes are rate-bound ~380-400 img/s/warp; see
+    # scripts/bench_warp_bounded.py). The bound stays plumbed for a future
+    # VMEM-resident Pallas banded kernel.
     x_aff = map_coordinates_bilinear_reflect(
         x, srcpts[..., 1], srcpts[..., 0],
         max_offset=_band(_affine_band_bound(h, w, float(cc))),

@@ -475,18 +475,33 @@ def map_coordinates_bilinear_reflect(
 
     ``max_offset=(Dy, Dx)``: static guarantee that the warp displacement is
     bounded — ``|coords_y - i| ≤ Dy`` and ``|coords_x - j| ≤ Dx`` for every
-    output pixel (i, j). With it, the per-element 2D GATHER (measured ~380
+    output pixel (i, j). With it the per-element 2D GATHER (measured ~380
     img/s batch-256 on chip — XLA's TPU gather lowering fetches 12-byte
-    rows, ~50× under HBM bandwidth) is replaced by (2Dy+1)·(2Dx+1) masked
-    STATIC SLICES of a symmetric-padded image: pure fused VPU select/FMA
-    work. Bitwise-equal to the gather form — the four neighbor values are
-    reconstructed exactly (disjoint exhaustive masks; adding a selected
-    value to a zero accumulator is exact in f32) and then combined with the
-    identical bilinear arithmetic.
+    rows, ~50× under HBM bandwidth) is replaced by one of two faster exact
+    forms, picked by band size:
+
+    - small bands ((2Dy+1)(2Dx+1) ≤ ``BANDED_UNROLL_MAX``): masked STATIC
+      SLICES of a symmetric-padded image — pure fused VPU select/FMA work,
+      bitwise-equal to the gather form (masks are disjoint and exhaustive;
+      adding a selected value to a zero accumulator is exact in f32).
+      Capped because each tap's shifted slice is its own full HBM stream
+      (chip layout probe: 200 f32 taps ≈ 410 GB/s total, no stream
+      sharing) AND large unrolled slice graphs crash this XLA TPU build's
+      compile helper (HTTP 500 at ~700+ taps).
+    - larger bounded bands fall through to the gather form. Every
+      multi-element-slice ``lax.gather`` formulation ((2,2,C) corner
+      patches, 1D (2C,) x-neighbor pairs — scripts/bench_warp_bounded.py)
+      crashes the same compile helper, and single-row takes plateau at
+      ~380-400 img/s batch-256 whatever the indexing scheme (flat,
+      pre-shifted-into-pad, batch-flattened): the gather lowering itself
+      is rate-bound, so the bound buys nothing in XLA. A VMEM-resident
+      Pallas banded kernel is the remaining lever.
     """
-    if max_offset is not None:
-        return _map_coords_banded(img, coords_y, coords_x, *max_offset)
     h, w = img.shape[0], img.shape[1]
+    if max_offset is not None:
+        dy, dx = int(max_offset[0]), int(max_offset[1])
+        if (2 * dy + 1) * (2 * dx + 1) <= BANDED_UNROLL_MAX:
+            return _map_coords_banded(img, coords_y, coords_x, dy, dx)
 
     def reflect(idx, n):
         # scipy 'reflect': (d c b a | a b c d | d c b a)
@@ -499,13 +514,38 @@ def map_coordinates_bilinear_reflect(
     fy = (coords_y - y0)[..., None]
     fx = (coords_x - x0)[..., None]
     y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
+    # flat 1D take beats 2D fancy indexing on chip (377 vs 341 img/s —
+    # scripts/bench_gather_variants.py): one linearized index per corner
+    # lets XLA lower a single-axis gather of (C,)-rows.
+    flat = img.reshape(h * w, img.shape[2])
 
     def at(yy, xx):
-        return img[reflect(yy, h), reflect(xx, w)]
+        idx = reflect(yy, h) * w + reflect(xx, w)
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            idx.shape + (img.shape[2],))
 
     top = at(y0i, x0i) * (1 - fx) + at(y0i, x0i + 1) * fx
     bot = at(y0i + 1, x0i) * (1 - fx) + at(y0i + 1, x0i + 1) * fx
     return top * (1 - fy) + bot * fy
+
+
+# max unrolled masked-slice taps for the banded warp. Above this the
+# patch-gather form wins: each unrolled tap streams the full image from HBM
+# (no slice stream sharing — chip layout probe, scripts/
+# bench_layout_probe.py), and ~700+ unrolled taps crash this XLA TPU
+# build's compile helper outright (HTTP 500, benchmarks/corruptions.json
+# round-4 elastic rows).
+BANDED_UNROLL_MAX = 256
+
+
+def _tree_sum(parts: list[jax.Array]) -> jax.Array:
+    """Pairwise sum — keeps the adder graph log-depth. The linear chain
+    form crashes this XLA TPU build's compile helper at ~200 unrolled
+    terms (chip layout probe: nhwc_linear HTTP 500, nhwc_tree fine)."""
+    while len(parts) > 1:
+        odd = [parts[-1]] if len(parts) % 2 else []
+        parts = [a + b for a, b in zip(parts[0::2], parts[1::2])] + odd
+    return parts[0]
 
 
 def _map_coords_banded(img: jax.Array, coords_y: jax.Array,
@@ -543,15 +583,17 @@ def _map_coords_banded(img: jax.Array, coords_y: jax.Array,
             pad, (u + dy + 1, v + dx + 1, 0), (u + dy + 1 + h, v + dx + 1 + w, img.shape[2]),
         )
 
-    zero = jnp.zeros_like(img)
-    a = b = c = d = zero
+    pa, pb, pc, pd = [], [], [], []
     for u in range(-dy, dy + 1):
         for v in range(-dx, dx + 1):
             m = (code == (u + dy) * (2 * dx + 1) + (v + dx))[..., None]
-            a = a + jnp.where(m, tile(u, v), 0.0)
-            b = b + jnp.where(m, tile(u, v + 1), 0.0)
-            c = c + jnp.where(m, tile(u + 1, v), 0.0)
-            d = d + jnp.where(m, tile(u + 1, v + 1), 0.0)
+            pa.append(jnp.where(m, tile(u, v), 0.0))
+            pb.append(jnp.where(m, tile(u, v + 1), 0.0))
+            pc.append(jnp.where(m, tile(u + 1, v), 0.0))
+            pd.append(jnp.where(m, tile(u + 1, v + 1), 0.0))
+    # masks are disjoint+exhaustive, so every element sums one value with
+    # zeros — exact in f32 in any association (tree == linear bitwise)
+    a, b, c, d = _tree_sum(pa), _tree_sum(pb), _tree_sum(pc), _tree_sum(pd)
     top = a * (1 - fx) + b * fx
     bot = c * (1 - fx) + d * fx
     return top * (1 - fy) + bot * fy

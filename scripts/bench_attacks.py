@@ -45,8 +45,10 @@ def bench(model_name: str) -> list[dict]:
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.uniform(0, 1, (BATCH, 224, 224, 3)), jnp.float32)
     # labels = model's own argmax (random labels leave an empty worklist,
-    # see .claude/skills/verify)
-    labels = jnp.argmax(clf.apply_fn(clf.variables, x0, train=False), -1)
+    # see .claude/skills/verify). argmax on HOST: fusing argmax behind a
+    # CNN forward aborts this XLA TPU build (CLAUDE.md).
+    logits0 = np.asarray(clf.apply_fn(clf.variables, x0, train=False))
+    labels = jnp.asarray(np.argmax(logits0, -1))
 
     rows = []
     for disp, (fn_name, steps, kw) in ATTACKS.items():
@@ -81,12 +83,47 @@ def bench(model_name: str) -> list[dict]:
     return rows
 
 
+def autoattack_wallclock(model_name: str = "resnet50_official",
+                         bs: int = 250) -> dict:
+    """One standard-cascade AutoAttack wall-clock at the reference's eval
+    batch size (reference autoattack run_standard_evaluation bs=250) —
+    full budget: apgd-ce / apgd-t / fab-t / square, n_iter=100, 5000
+    square queries. Host orchestration + dispatch latency included: this
+    is the number a user's robust-accuracy eval actually pays."""
+    from robustart_tpu.attacks.autoattack.core import AutoAttack
+    from robustart_tpu.models import create_classifier
+
+    clf = create_classifier(model_name, rng=0, input_size=224,
+                            dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(0, 1, (bs, 224, 224, 3)), jnp.float32)
+    logits0 = np.asarray(clf.apply_fn(clf.variables, x0, train=False))
+    y = jnp.asarray(np.argmax(logits0, -1))
+    aa = AutoAttack(clf, norm="Linf", eps=4 / 255, version="standard")
+    t0 = time.perf_counter()
+    adv = aa.run_standard_evaluation(x0, y, bs=bs)
+    np.asarray(adv)  # force fetch (relay: completion observable at fetch)
+    dt = time.perf_counter() - t0
+    row = {
+        "model": model_name, "attack": "autoattack_standard_linf",
+        "batch": bs, "wallclock_s": round(dt, 1),
+        "img_per_sec": round(bs / dt, 2),
+    }
+    print(json.dumps(row))
+    return row
+
+
 def main():
     import os
 
     all_rows = []
     for m in ("resnet50_official", "vit_b16_224"):
         all_rows += bench(m)
+    try:
+        all_rows.append(autoattack_wallclock())
+    except Exception as e:
+        all_rows.append({"attack": "autoattack_standard_linf",
+                         "error": f"{type(e).__name__}: {e}"[:200]})
     os.makedirs(osp.join(REPO, "benchmarks"), exist_ok=True)
     with open(osp.join(REPO, "benchmarks", "attacks.json"), "w") as f:
         json.dump({"device": str(jax.devices()[0]), "rows": all_rows}, f,

@@ -170,8 +170,15 @@ def bench(name, fn, batched=False):
     }), flush=True)
 
 
+VARIANTS = {
+    "fancy2d": (warp_fancy2d, False),
+    "flat": (warp_flat, False),
+    "flatbatch": (warp_flatbatch, True),
+    "patch": (warp_patch, False),
+}
+
 if __name__ == "__main__":
-    bench("fancy2d", warp_fancy2d)
-    bench("flat", warp_flat)
-    bench("flatbatch", warp_flatbatch, batched=True)
-    bench("patch", warp_patch)
+    names = sys.argv[1:] or list(VARIANTS)
+    for name in names:
+        fn, batched = VARIANTS[name]
+        bench(name, fn, batched=batched)
