@@ -488,20 +488,27 @@ def map_coordinates_bilinear_reflect(
       (chip layout probe: 200 f32 taps ≈ 410 GB/s total, no stream
       sharing) AND large unrolled slice graphs crash this XLA TPU build's
       compile helper (HTTP 500 at ~700+ taps).
-    - larger bounded bands fall through to the gather form. Every
-      multi-element-slice ``lax.gather`` formulation ((2,2,C) corner
+    - larger bounded bands on TPU: the VMEM-resident Pallas banded warp
+      (ops/pallas_warp.py) — tap loops over the per-tile offset range with
+      the image tile in VMEM; bitwise-equal to this (jitted) gather form
+      (tests/test_pallas_warp.py).
+    - larger bounded bands elsewhere fall through to the gather form.
+      Every multi-element-slice ``lax.gather`` formulation ((2,2,C) corner
       patches, 1D (2C,) x-neighbor pairs — scripts/bench_warp_bounded.py)
       crashes the same compile helper, and single-row takes plateau at
       ~380-400 img/s batch-256 whatever the indexing scheme (flat,
       pre-shifted-into-pad, batch-flattened): the gather lowering itself
-      is rate-bound, so the bound buys nothing in XLA. A VMEM-resident
-      Pallas banded kernel is the remaining lever.
+      is rate-bound, so the bound buys nothing in XLA.
     """
     h, w = img.shape[0], img.shape[1]
     if max_offset is not None:
         dy, dx = int(max_offset[0]), int(max_offset[1])
         if (2 * dy + 1) * (2 * dx + 1) <= BANDED_UNROLL_MAX:
             return _map_coords_banded(img, coords_y, coords_x, dy, dx)
+        if (dy + 1 <= h and dx + 1 <= w and _pallas_warp_ok(h)):
+            from robustart_tpu.ops.pallas_warp import warp_banded_pallas
+
+            return warp_banded_pallas(img, coords_y, coords_x, dy, dx)
 
     def reflect(idx, n):
         # scipy 'reflect': (d c b a | a b c d | d c b a)
@@ -536,6 +543,20 @@ def map_coordinates_bilinear_reflect(
 # build's compile helper outright (HTTP 500, benchmarks/corruptions.json
 # round-4 elastic rows).
 BANDED_UNROLL_MAX = 256
+
+
+def _pallas_warp_ok(h: int) -> bool:
+    """Gate the Pallas banded warp to real TPU backends (CPU tests keep the
+    gather form — the TPU-semantics interpreter is for correctness, not
+    speed) and to heights the kernel tiles evenly."""
+    from robustart_tpu.ops.pallas_warp import TILE_H
+
+    if h % TILE_H:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # backend init failure — stay on the gather path
+        return False
 
 
 def _tree_sum(parts: list[jax.Array]) -> jax.Array:
