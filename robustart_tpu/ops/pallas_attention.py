@@ -665,7 +665,12 @@ def _wpb_auto(bnw: int, n: int, c: int, h: int, nb: int, itemsize: int,
     fixed = (4 * c * c * itemsize) // head_groups + (
         h // head_groups
     ) * nb * nb * 4
-    for cand in (8, 4, 2):
+    # small-C shapes amortize per-program overheads over more windows:
+    # chip sweep (scripts/profile_swin_stage0.py, WORKLOG r4) — C=128
+    # wpb=32 is ~8% faster than wpb=8, while C=256 prefers wpb=8 and
+    # wpb=64 at C=256 crashes this build's compile helper.
+    cands = (32, 16, 8, 4, 2) if c <= 128 else (8, 4, 2)
+    for cand in cands:
         if bnw % cand or (masked and num_windows % cand):
             continue
         per = cand * (n * n * 4 * (2 if masked else 1)

@@ -9,12 +9,12 @@ multi-element-slice `lax.gather` crashes this build's compile helper, and
 the unrolled masked-slice band does too above ~700 taps
 (scripts/bench_warp_bounded.py, WORKLOG round 4).
 
-This kernel implements the banded-select warp with the image tile resident
-in VMEM, which changes the economics twice over:
+This kernel implements the banded-select warp with the image resident in
+VMEM, which changes the economics twice over:
 
-- the O((2Dy+1)(2Dx+1)) masked taps read VMEM, not HBM (the unrolled XLA
-  form streams the full image from HBM per tap — layout probe: ~410 GB/s
-  aggregate, no stream sharing);
+- the masked taps read VMEM, not HBM (the unrolled XLA form streams the
+  full image from HBM per tap — layout probe: ~410 GB/s aggregate, no
+  stream sharing);
 - the tap loops run over the PER-TILE offset range actually present
   (runtime min/max of the integer offsets), not the static worst case.
   The displacement fields are smooth (a gaussian-blurred field and a
@@ -22,11 +22,19 @@ in VMEM, which changes the economics twice over:
   fraction of the static band — the static bound (Dy, Dx) only sizes the
   pad.
 
+Mosaic constraints shape the addressing (first attempt failed with
+"cannot statically prove that index in dimension 2 is a multiple of 8"):
+dynamic ref-slice starts on the tiled dims must be provably tile-aligned,
+so per-tap offsets are realized as `pltpu.roll` (dynamic circular shifts
+support traced amounts) of a STATICALLY-sliced per-tile window whose start
+``t*TILE_H`` is alignment-provable, followed by static slices of the
+rolled value.
+
 Exactness contract (same as ops/image._map_coords_banded): masks are
 disjoint and exhaustive over the band, each output element accumulates
 exactly one bilinear value plus zeros, and the bilinear arithmetic is the
-gather path's expression verbatim — bitwise-equal results
-(tests/test_pallas_warp.py).
+gather path's expression verbatim — bitwise-equal to the jitted gather
+form in the TPU-semantics interpreter (tests/test_pallas_warp.py).
 
 Layout: channels-first (C, H, W) inside the kernel so the lane dimension
 is W (224) instead of C (3); NHWC in/out at the API boundary.
@@ -42,6 +50,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
+
+
+def _align(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
 def _kernel(cy_ref, cx_ref, pad_ref, o_ref, *, dy: int, dx: int, h: int,
@@ -65,23 +77,30 @@ def _kernel(cy_ref, cx_ref, pad_ref, o_ref, *, dy: int, dx: int, h: int,
     ny = jnp.max(oy) - oy_min + 1
     nx = jnp.max(ox) - ox_min + 1
 
-    base_row = t * TILE_H + dy + 1  # pad row of (i + u) at u = 0
-    base_col = dx + 1
+    # the tile's full band window: pad rows [t·TILE_H, t·TILE_H + hw) cover
+    # every (u, +1) tap of output rows [t·TILE_H, (t+1)·TILE_H); the start
+    # is t·TILE_H — statically provable sublane alignment (TILE_H = 8) —
+    # and both window dims are tile-aligned (8/128) for the rolls (Mosaic:
+    # "unsupported unaligned shape" otherwise)
+    hw = _align(TILE_H + 2 * dy + 2, 8)
+    wp = pad_ref.shape[2]  # lane-aligned by the caller
+    window = pad_ref[:, pl.ds(t * TILE_H, hw), :]  # (C, hw, Wp)
 
     def u_body(ui, acc):
         u = oy_min + ui
         my = oy == u
+        # bring window row (u + dy + 1) to row 0: roll by hw - k (jnp.roll
+        # semantics — element i lands at i + shift mod n; shift stays ≥ 0)
+        ru = pltpu.roll(window, hw - (u + dy + 1), axis=1)[:, :TILE_H + 1]
 
         def v_body(vi, acc):
             v = ox_min + vi
             m = (my & (ox == v))[None]  # (1, TILE_H, W)
-            win = pad_ref[:,
-                          pl.ds(base_row + u, TILE_H + 1),
-                          pl.ds(base_col + v, w + 1)]
-            a = win[:, :TILE_H, :w]
-            b = win[:, :TILE_H, 1:]
-            cc = win[:, 1:, :w]
-            d = win[:, 1:, 1:]
+            rv = pltpu.roll(ru, wp - (v + dx + 1), axis=2)
+            a = rv[:, :TILE_H, :w]
+            b = rv[:, :TILE_H, 1:w + 1]
+            cc = rv[:, 1:, :w]
+            d = rv[:, 1:, 1:w + 1]
             top = a * (1 - fx) + b * fx
             bot = cc * (1 - fx) + d * fx
             bil = top * (1 - fy) + bot * fy
@@ -115,6 +134,14 @@ def warp_banded_pallas(img: jax.Array, coords_y: jax.Array,
     pad = jnp.pad(img, ((dy + 1, dy + 1), (dx + 1, dx + 1), (0, 0)),
                   mode="symmetric")
     pad = jnp.transpose(pad, (2, 0, 1)).astype(jnp.float32)  # (C, Hp, Wp)
+    # tile-align the roll dims: lanes to 128; rows so the LAST tile's
+    # aligned window slice stays in bounds (extra rows/lanes are garbage
+    # the kernel's static slices never select)
+    hw = _align(TILE_H + 2 * dy + 2, 8)
+    hp_need = (h - TILE_H) + hw
+    wp_need = _align(pad.shape[2], 128)
+    pad = jnp.pad(pad, ((0, 0), (0, max(0, hp_need - pad.shape[1])),
+                        (0, wp_need - pad.shape[2])))
     out = pl.pallas_call(
         functools.partial(_kernel, dy=dy, dx=dx, h=h, w=w, c=c),
         grid=(h // TILE_H,),

@@ -54,12 +54,26 @@ def test_window_block_forward_matches_reference(with_mask, wpb):
 def test_window_block_paired_windows_bitwise_vs_unpaired(with_mask):
     """Even wpb at n ≤ 64 activates paired-window scores (two windows per
     MXU macro-op, cross-window quadrants at -1e30 via the paired bias).
-    The extra contraction terms are exact zeros, so outputs are BITWISE
-    those of the per-window loop (wpb=1 never pairs)."""
+    The extra contraction terms are exact zeros, but the p·v contraction
+    runs at K=2n vs K=n, and a dot's reduction TREE may group the nonzero
+    terms differently around the interleaved zeros — a few f32 ulps
+    (measured ≤ 8e-7 in the interpreter). At the production bf16 block
+    dtype the f32 ulps vanish in the output cast: bitwise there; allclose
+    at ulp tolerance in f32."""
     args = _data(with_mask=with_mask)
     unpaired = window_block_pallas(*args, num_windows=4, wpb=1,
                                    interpret=True)
     paired = window_block_pallas(*args, num_windows=4, wpb=2,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(paired), np.asarray(unpaired),
+                               rtol=2e-6, atol=2e-6)
+
+    args_bf = [a.astype(jnp.bfloat16)
+               if a is not None and a.ndim >= 2 and a.dtype == jnp.float32
+               and a.shape[-1] != 49 else a for a in args]
+    unpaired = window_block_pallas(*args_bf, num_windows=4, wpb=1,
+                                   interpret=True)
+    paired = window_block_pallas(*args_bf, num_windows=4, wpb=2,
                                  interpret=True)
     np.testing.assert_array_equal(np.asarray(paired), np.asarray(unpaired))
 
