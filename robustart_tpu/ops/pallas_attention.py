@@ -349,9 +349,14 @@ def window_block_reference(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
 
 def _window_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
                          bk_ref, wv_ref, bv_ref, wp_ref, bp_ref, b_ref,
-                         m_ref, o_ref, attn_ref, *, scale: float,
+                         m_ref, o_ref, *rest, scale: float,
                          with_mask: bool, num_heads: int, head_dim: int,
-                         n: int, wpb: int, eps: float, pair: bool = False):
+                         n: int, wpb: int, eps: float, pair: bool = False,
+                         emit_qkv: bool = False):
+    if emit_qkv:
+        q_ref, k_ref, v_ref, attn_ref = rest
+    else:
+        (attn_ref,) = rest
     c = num_heads * head_dim
     xw = x_ref[:].reshape(wpb * n, c)
     xn = _ln_f32(xw, lns_ref[0], lnb_ref[0], eps).astype(xw.dtype)
@@ -367,6 +372,13 @@ def _window_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
     q = branch(wq_ref, bq_ref)
     k = branch(wk_ref, bk_ref)
     v = branch(wv_ref, bv_ref)
+    if emit_qkv:
+        # grad-mode residuals: one HBM store each is cheaper than the bwd
+        # re-running the three qkv matmuls (flash-style — scores/probs are
+        # recomputed in the bwd, qkv are not)
+        q_ref[:] = q.reshape(wpb, n, c)
+        k_ref[:] = k.reshape(wpb, n, c)
+        v_ref[:] = v.reshape(wpb, n, c)
     d = head_dim
     # paired-window mode: Swin's per-(window, head) score matmuls are
     # (49, 32)·(32, 49) — M, K, N all far below the 128-wide MXU, so each
@@ -411,14 +423,19 @@ def _window_block_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
 
 def _window_block_hg_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
                             bk_ref, wv_ref, bv_ref, wp_ref, bp_ref, b_ref,
-                            m_ref, o_ref, acc_ref, attn_ref, *, scale: float,
+                            m_ref, o_ref, *rest, scale: float,
                             with_mask: bool, group_heads: int, head_dim: int,
-                            n: int, wpb: int, eps: float, n_groups: int):
+                            n: int, wpb: int, eps: float, n_groups: int,
+                            emit_qkv: bool = False):
     """Head-grouped variant: grid (programs, groups) with the group axis
     innermost — each step holds only this group's weight slices (4C²/G
     bytes) and accumulates its proj partial into an f32 scratch; the output
     block is written once on the last group. Head-major qkv packing makes a
     head group a contiguous column slice (the TP layout, models/vit.py)."""
+    if emit_qkv:
+        q_ref, k_ref, v_ref, acc_ref, attn_ref = rest
+    else:
+        acc_ref, attn_ref = rest
     g = pl.program_id(1)
     c = x_ref.shape[2]
     gc = group_heads * head_dim
@@ -436,6 +453,12 @@ def _window_block_hg_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
     q = branch(wq_ref, bq_ref)  # (wpb·n, gc)
     k = branch(wk_ref, bk_ref)
     v = branch(wv_ref, bv_ref)
+    if emit_qkv:
+        # per-group column slice of the (bnw, n, C) residual (head-major
+        # packing makes group g the contiguous columns [g·gc, (g+1)·gc))
+        q_ref[:] = q.reshape(wpb, n, gc)
+        k_ref[:] = k.reshape(wpb, n, gc)
+        v_ref[:] = v.reshape(wpb, n, gc)
     d = head_dim
     for w in range(wpb):
         rows = slice(w * n, (w + 1) * n)
@@ -482,12 +505,12 @@ def _window_block_hg_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "num_windows", "eps", "wpb",
-                     "head_groups", "interpret"),
+                     "head_groups", "interpret", "emit_qkv"),
 )
 def _window_block_impl(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
                        rel_bias, mask, *, num_heads: int, num_windows: int,
                        eps: float, wpb: int, head_groups: int = 1,
-                       interpret: bool = False):
+                       interpret: bool = False, emit_qkv: bool = False):
     bnw, n, c = x.shape
     d = c // num_heads
     scale = 1.0 / np.sqrt(d)
@@ -536,10 +559,11 @@ def _window_block_impl(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
         kernel = functools.partial(
             _window_block_kernel, scale=scale, with_mask=with_mask,
             num_heads=num_heads, head_dim=d, n=n, wpb=wpb, eps=eps,
-            pair=pair,
+            pair=pair, emit_qkv=emit_qkv,
         )
         out_spec = pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
+        qkv_spec, qkv_shape = out_spec, (bnw, n, c)
         scratch = [pltpu.VMEM((wpb * n, c), x.dtype)]
     else:
         x_spec = pl.BlockSpec((wpb, n, c), lambda i, g: (i, 0, 0),
@@ -561,9 +585,13 @@ def _window_block_impl(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
         kernel = functools.partial(
             _window_block_hg_kernel, scale=scale, with_mask=with_mask,
             group_heads=gh, head_dim=d, n=n, wpb=wpb, eps=eps, n_groups=hg,
+            emit_qkv=emit_qkv,
         )
         out_spec = pl.BlockSpec((wpb, n, c), lambda i, g: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
+        qkv_spec = pl.BlockSpec((wpb, n, gc), lambda i, g: (i, 0, g),
+                                memory_space=pltpu.VMEM)
+        qkv_shape = (bnw, n, c)
         scratch = [pltpu.VMEM((wpb * n, c), jnp.float32),
                    pltpu.VMEM((wpb * n, gc), x.dtype)]
 
@@ -590,12 +618,19 @@ def _window_block_impl(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
         pl.BlockSpec(mask_block, mask_map, memory_space=pltpu.VMEM)
     )
     args.append(mask if with_mask else jnp.zeros(mask_block, jnp.float32))
+    if emit_qkv:
+        out_specs = [out_spec, qkv_spec, qkv_spec, qkv_spec]
+        out_shapes = [jax.ShapeDtypeStruct((bnw, n, c), x.dtype)] + [
+            jax.ShapeDtypeStruct(qkv_shape, x.dtype)] * 3
+    else:
+        out_specs = out_spec
+        out_shapes = jax.ShapeDtypeStruct((bnw, n, c), x.dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((bnw, n, c), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(*args)
@@ -615,45 +650,120 @@ def _window_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
 def _window_block_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
                       rel_bias, mask, num_heads, num_windows, eps, wpb,
                       head_groups, interpret):
-    out = _window_block_impl(
+    """Grad-mode forward: the kernel additionally streams out q/k/v so the
+    backward never re-runs the three qkv matmuls (the measured cost of the
+    old recompute-through-XLA VJP: a whole extra XLA forward per grad,
+    benchmarks/attacks.json r4). wpb is re-picked for the larger VMEM
+    footprint — wpb only regroups reductions (bf16-bitwise, f32-ulp
+    identical; tests/test_pallas_window_block.py pairing test)."""
+    bnw, n, c = x.shape
+    wpb_e = _wpb_auto(bnw, n, c, num_heads, rel_bias.shape[1],
+                      jnp.dtype(x.dtype).itemsize, mask is not None,
+                      num_windows, head_groups, emit_qkv=True)
+    out, q, k, v = _window_block_impl(
         x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
         mask, num_heads=num_heads, num_windows=num_windows, eps=eps,
-        wpb=wpb, head_groups=head_groups, interpret=interpret,
+        wpb=wpb_e, head_groups=head_groups, interpret=interpret,
+        emit_qkv=True,
     )
     return out, (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp,
-                 rel_bias, mask)
+                 rel_bias, mask, q, k, v)
 
 
 def _window_block_bwd(num_heads, num_windows, eps, wpb, head_groups,
                       interpret, residuals, g):
     """Exact gradients for EVERY input (x, LN affine, qkv/proj weights,
-    bias table, mask) by recomputing through the XLA reference."""
-    del num_heads, wpb, head_groups, interpret
+    bias table, mask), composed from the SAVED q/k/v — no re-forward.
+    Probabilities are recomputed from q/k (flash-attention style: one
+    score einsum + softmax is far cheaper than storing the N² tensor);
+    the recompute reproduces the reference softmax bit-for-bit, so the
+    cotangents match the old recompute-VJP to fp-associativity.
+    Semantics per window_block_reference (q/k/v are the post-cast branch
+    outputs, scale multiplied before the cast)."""
+    del wpb, head_groups, interpret
     (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
-     mask) = residuals
-    has_mask = mask is not None
+     mask, q, k, v) = residuals
+    bnw, n, c = x.shape
+    h = num_heads
+    d = c // h
+    scale = 1.0 / np.sqrt(d)
+    f32 = jnp.float32
 
-    def ref(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
-            mask):
-        return window_block_reference(
-            x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
-            mask if has_mask else None, num_windows=num_windows, eps=eps,
+    def ln_fn(xx, ss, bb):
+        return _ln_f32(xx, ss, bb, eps).astype(x.dtype)
+
+    xn, ln_vjp = jax.vjp(ln_fn, x, ln_scale, ln_bias)
+    q4 = q.reshape(bnw, n, h, d)
+    k4 = k.reshape(bnw, n, h, d)
+    v4 = v.reshape(bnw, n, h, d)
+    # scores + softmax, reference semantics (window_block_reference)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", (q4 * scale).astype(x.dtype), k4)
+    attn = attn.astype(f32) + rel_bias[None].astype(f32)
+    if mask is not None:
+        attn = attn.reshape(bnw // num_windows, num_windows, h, n, n)
+        attn = attn + mask[None, :, None].astype(f32)
+        attn = attn.reshape(bnw, h, n, n)
+    p = jax.nn.softmax(attn, -1).astype(x.dtype)
+
+    gf = g.astype(f32)
+    gc = g.astype(x.dtype)
+    # y = x + attn_out @ wp + bp
+    da = jnp.dot(gc, wp.T.astype(x.dtype),
+                 preferred_element_type=f32).astype(x.dtype)
+    da4 = da.reshape(bnw, n, h, d)
+    attn_out = jnp.einsum("bhqk,bkhd->bqhd", p, v4).reshape(bnw, n, c)
+    dwp = jnp.einsum("bnc,bnk->ck", attn_out.astype(x.dtype), gc,
+                     preferred_element_type=f32)
+    dbp = jnp.sum(gf, axis=(0, 1))
+    # attention core (same math as _window_mha_bwd)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, da4)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", da4, v4)
+    tmp = (dp * p).astype(f32)
+    ds = tmp - p.astype(f32) * jnp.sum(tmp, axis=-1, keepdims=True)
+    ds = ds.astype(x.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k4) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q4) * scale
+    d_bias = jnp.sum(ds.astype(f32), axis=0)
+    d_mask = (
+        None
+        if mask is None
+        else jnp.sum(
+            ds.astype(f32).reshape(bnw // num_windows, num_windows, h, n, n),
+            axis=(0, 2),
         )
-
-    args = (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wp, bp, rel_bias,
-            mask if has_mask else jnp.zeros((1, x.shape[1], x.shape[1]),
-                                            jnp.float32))
-    _, vjp = jax.vjp(ref, *args)
-    grads = vjp(g.astype(x.dtype))
-    grads = tuple(gi.astype(ai.dtype) for gi, ai in zip(grads, args))
-    return grads[:-1] + ((grads[-1] if has_mask else None),)
+    )
+    dq2 = dq.reshape(bnw, n, c).astype(x.dtype)
+    dk2 = dk.reshape(bnw, n, c).astype(x.dtype)
+    dv2 = dv.reshape(bnw, n, c).astype(x.dtype)
+    dxn = (
+        jnp.dot(dq2, wq.T.astype(x.dtype), preferred_element_type=f32)
+        + jnp.dot(dk2, wk.T.astype(x.dtype), preferred_element_type=f32)
+        + jnp.dot(dv2, wv.T.astype(x.dtype), preferred_element_type=f32)
+    ).astype(x.dtype)
+    xnc = xn.astype(x.dtype)
+    dwq = jnp.einsum("bnc,bnd->cd", xnc, dq2, preferred_element_type=f32)
+    dwk = jnp.einsum("bnc,bnd->cd", xnc, dk2, preferred_element_type=f32)
+    dwv = jnp.einsum("bnc,bnd->cd", xnc, dv2, preferred_element_type=f32)
+    dbq = jnp.sum(dq2.astype(f32), axis=(0, 1))
+    dbk = jnp.sum(dk2.astype(f32), axis=(0, 1))
+    dbv = jnp.sum(dv2.astype(f32), axis=(0, 1))
+    dx_ln, dlns, dlnb = ln_vjp(dxn)
+    dx = (dx_ln.astype(f32) + gf).astype(x.dtype)
+    return (dx, dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+            dwq.astype(wq.dtype), dbq.astype(bq.dtype),
+            dwk.astype(wk.dtype), dbk.astype(bk.dtype),
+            dwv.astype(wv.dtype), dbv.astype(bv.dtype),
+            dwp.astype(wp.dtype), dbp.astype(bp.dtype),
+            d_bias.astype(rel_bias.dtype),
+            None if d_mask is None else d_mask.astype(mask.dtype))
 
 
 _window_block.defvjp(_window_block_fwd, _window_block_bwd)
 
 
 def _wpb_auto(bnw: int, n: int, c: int, h: int, nb: int, itemsize: int,
-              masked: bool, num_windows: int, head_groups: int = 1) -> int:
+              masked: bool, num_windows: int, head_groups: int = 1,
+              emit_qkv: bool = False) -> int:
     """Largest windows-per-program whose VMEM footprint fits the ~16 MB
     scoped budget (measured: wpb=8 at n=144, C=512 allocates 18.15 MB and
     the compiler aborts). Model, validated against that point (est. 20 MB):
@@ -675,7 +785,11 @@ def _wpb_auto(bnw: int, n: int, c: int, h: int, nb: int, itemsize: int,
             continue
         per = cand * (n * n * 4 * (2 if masked else 1)
                       + n * c * (5 * itemsize + 16)
-                      + (n * c * 4 if head_groups > 1 else 0))
+                      + (n * c * 4 if head_groups > 1 else 0)
+                      # grad-mode qkv residual stores: 3 double-buffered
+                      # (wpb, n, C/G) output blocks
+                      + (6 * n * (c // head_groups) * itemsize
+                         if emit_qkv else 0))
         if fixed + per <= budget:
             return cand
     return 1

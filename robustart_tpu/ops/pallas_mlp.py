@@ -87,9 +87,13 @@ def mlp_reference(x, w1, b1, w2, b2, gamma=None, shortcut=None,
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, s_ref,
-                lns_ref, lnb_ref, o_ref, acc_ref, *, nf: int, act: str,
+                lns_ref, lnb_ref, o_ref, *rest, nf: int, act: str,
                 has_gamma: bool, has_shortcut: bool, has_ln: bool,
-                ln_eps: float, residual_input: bool):
+                ln_eps: float, residual_input: bool, emit_u: bool = False):
+    if emit_u:
+        u_ref, acc_ref = rest
+    else:
+        (acc_ref,) = rest
     fi = pl.program_id(1)
 
     @pl.when(fi == 0)
@@ -110,6 +114,11 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, s_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[0].astype(jnp.float32)
+    if emit_u:
+        # grad-mode residual: the fc1 pre-activation, streamed out so the
+        # backward never re-runs the fc1 matmul (stored in the activation
+        # dtype — the same rounding the fwd's fc2 input already carries)
+        u_ref[:] = h.astype(u_ref.dtype)
     h = _act_fn(act, in_kernel=True)(h).astype(x_ref.dtype)
     acc_ref[:] += jax.lax.dot_general(
         h, w2_ref[:].astype(x_ref.dtype),
@@ -135,13 +144,13 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, s_ref,
     jax.jit,
     static_argnames=(
         "act", "has_gamma", "has_shortcut", "interpret", "has_ln", "ln_eps",
-        "residual_input",
+        "residual_input", "emit_u",
     ),
 )
 def _mlp_impl(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, *, act: str,
               has_gamma: bool, has_shortcut: bool, has_ln: bool = False,
               ln_eps: float = 1e-6, residual_input: bool = False,
-              interpret: bool = False):
+              interpret: bool = False, emit_u: bool = False):
     m, c = x.shape
     f = w1.shape[1]
     tm = min(256, m)
@@ -156,7 +165,13 @@ def _mlp_impl(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, *, act: str,
     # WORKLOG r3)
     bytes_per = jnp.dtype(w1.dtype).itemsize
     tf = f
-    while 2 * c * tf * bytes_per > 4 * 1024 * 1024 and tf % 2 == 0:
+    # emit_u adds a double-buffered (tm, tf) output block to the pipeline —
+    # include it in the streamed-bytes budget so grad mode never
+    # oversubscribes VMEM where eval mode fit
+    row_bytes = 2 * c * bytes_per + (
+        2 * tm * jnp.dtype(x.dtype).itemsize if emit_u else 0
+    )
+    while row_bytes * tf > 4 * 1024 * 1024 and tf % 2 == 0:
         tf //= 2
     nf = f // tf
     g_arg = gamma.reshape(1, c) if has_gamma else jnp.zeros((1, c), x.dtype)
@@ -169,11 +184,24 @@ def _mlp_impl(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, *, act: str,
     )
     lns_arg = lns.reshape(1, c) if has_ln else jnp.zeros((1, c), x.dtype)
     lnb_arg = lnb.reshape(1, c) if has_ln else jnp.zeros((1, c), x.dtype)
+    if emit_u:
+        out_specs = [
+            pl.BlockSpec((tm, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tf), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes = [jax.ShapeDtypeStruct((mp, c), x.dtype),
+                      jax.ShapeDtypeStruct((mp, f), x.dtype)]
+    else:
+        out_specs = pl.BlockSpec((tm, c), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shapes = jax.ShapeDtypeStruct((mp, c), x.dtype)
     out = pl.pallas_call(
         functools.partial(
             _mlp_kernel, nf=nf, act=act, has_gamma=has_gamma,
             has_shortcut=has_shortcut, has_ln=has_ln, ln_eps=ln_eps,
-            residual_input=residual_input,
+            residual_input=residual_input, emit_u=emit_u,
         ),
         grid=(mp // tm, nf),
         in_specs=[
@@ -195,13 +223,14 @@ def _mlp_impl(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, *, act: str,
             pl.BlockSpec((1, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tm, c), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, c), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((tm, c), jnp.float32)],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x, w1, b1.reshape(1, f), w2, b2.reshape(1, c), g_arg, s_arg,
       lns_arg, lnb_arg)
+    if emit_u:
+        return out[0][:m], out[1][:m]
     return out[:m]
 
 
@@ -218,52 +247,74 @@ def _mlp(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, act, interpret,
 
 def _mlp_fwd(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, act, interpret,
              ln_eps, residual_input):
-    out = _mlp_impl(
+    """Grad-mode forward: the kernel additionally streams out the fc1
+    pre-activation ``u`` so the backward never re-runs the fc1 matmul (the
+    dominant cost of the old recompute-through-XLA VJP)."""
+    out, u = _mlp_impl(
         x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, act=act,
         has_gamma=gamma is not None, has_shortcut=shortcut is not None,
         has_ln=lns is not None, ln_eps=ln_eps,
-        residual_input=residual_input, interpret=interpret,
+        residual_input=residual_input, interpret=interpret, emit_u=True,
     )
-    return out, (x, w1, b1, w2, b2, gamma, shortcut, lns, lnb)
+    return out, (x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, u)
 
 
 def _mlp_bwd(act, interpret, ln_eps, residual_input, residuals, g):
+    """Hand-composed exact gradients from the saved pre-activation: the
+    only recomputes are elementwise (LN prologue, act(u)) plus — when the
+    ConvNeXt layer-scale gamma is present — the fc2 matmul for dgamma
+    (dead-code-eliminated by XLA whenever the gamma cotangent is unused,
+    e.g. input-gradient attacks). ``u`` carries the activation dtype: in
+    bf16 models act'(u) sees the same rounding the fwd's fc2 input did."""
     del interpret
-    x, w1, b1, w2, b2, gamma, shortcut, lns, lnb = residuals
-    has_gamma = gamma is not None
-    has_shortcut = shortcut is not None
-    has_ln = lns is not None
+    x, w1, b1, w2, b2, gamma, shortcut, lns, lnb, u = residuals
+    f32 = jnp.float32
+    gf = g.astype(f32)
 
-    def ref(x, w1, b1, w2, b2, gamma, shortcut, lns, lnb):
-        y = mlp_reference(
-            x, w1, b1, w2, b2,
-            gamma if has_gamma else None,
-            shortcut if has_shortcut else None,
-            act=act,
-            ln=(lns, lnb) if has_ln else None,
-            ln_eps=ln_eps,
-        )
-        if residual_input:
-            # residual path reuses the SAME x — its cotangent accumulates
-            # into dx through this add
-            y = y + x
-        return y
+    if lns is not None:
+        def ln_fn(xx, ss, bb):
+            return _ln_f32(xx, ss, bb, ln_eps).astype(x.dtype)
 
-    args = (x, w1, b1, w2, b2,
-            gamma if has_gamma else jnp.zeros_like(b2),
-            shortcut if has_shortcut else jnp.zeros_like(x),
-            lns if has_ln else jnp.zeros_like(b2),
-            lnb if has_ln else jnp.zeros_like(b2))
-    _, vjp = jax.vjp(ref, *args)
-    dx, dw1, db1, dw2, db2, dgamma, dshort, dlns, dlnb = vjp(
-        g.astype(x.dtype)
-    )
-    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b2.dtype),
-            dgamma.astype(gamma.dtype) if has_gamma else None,
-            dshort.astype(shortcut.dtype) if has_shortcut else None,
-            dlns.astype(lns.dtype) if has_ln else None,
-            dlnb.astype(lnb.dtype) if has_ln else None)
+        xin, ln_vjp = jax.vjp(ln_fn, x, lns, lnb)
+    else:
+        xin, ln_vjp = x, None
+    h_f32, act_vjp = jax.vjp(_act_fn(act), u.astype(f32))
+    h = h_f32.astype(x.dtype)
+
+    if gamma is not None:
+        # pre-gamma value, only consumer is dgamma (see docstring)
+        pre = jnp.dot(h, w2.astype(x.dtype),
+                      preferred_element_type=f32) + b2.astype(f32)
+        dgamma = jnp.sum(gf * pre, axis=0).astype(gamma.dtype)
+        gy = gf * gamma.astype(f32)
+    else:
+        dgamma = None
+        gy = gf
+    gyc = gy.astype(x.dtype)
+    dh = jnp.dot(gyc, w2.T.astype(x.dtype), preferred_element_type=f32)
+    dw2 = jnp.dot(h.T, gyc, preferred_element_type=f32).astype(w2.dtype)
+    db2 = jnp.sum(gy, axis=0).astype(b2.dtype)
+    du = act_vjp(dh)[0]
+    duc = du.astype(x.dtype)
+    dxin = jnp.dot(duc, w1.T.astype(x.dtype), preferred_element_type=f32)
+    dw1 = jnp.dot(xin.T.astype(x.dtype), duc,
+                  preferred_element_type=f32).astype(w1.dtype)
+    db1 = jnp.sum(du, axis=0).astype(b1.dtype)
+    if ln_vjp is not None:
+        dx, dlns, dlnb = ln_vjp(dxin.astype(x.dtype))
+        dx = dx.astype(f32)
+        dlns = dlns.astype(lns.dtype)
+        dlnb = dlnb.astype(lnb.dtype)
+    else:
+        dx, dlns, dlnb = dxin, None, None
+    if residual_input:
+        # residual path reuses the SAME x — its cotangent accumulates here
+        dx = dx + gf
+    # the shortcut is added AFTER the layer-scale (mlp_reference): its
+    # cotangent is g itself, not g·gamma
+    dshort = g.astype(shortcut.dtype) if shortcut is not None else None
+    return (dx.astype(x.dtype), dw1, db1, dw2, db2, dgamma, dshort,
+            dlns, dlnb)
 
 
 _mlp.defvjp(_mlp_fwd, _mlp_bwd)
@@ -331,9 +382,10 @@ def token_mlp_reference(x, w1, b1, w2, b2, shortcut=None, act: str = "gelu",
 
 
 def _token_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref,
-                      lns_ref, lnb_ref, o_ref, *, act: str,
+                      lns_ref, lnb_ref, o_ref, *rest, act: str,
                       has_shortcut: bool, has_ln: bool, ln_eps: float,
-                      residual_input: bool):
+                      residual_input: bool, emit_u: bool = False):
+    u_ref = rest[0] if emit_u else None
     x_raw = x_ref[0]  # (T, Cc)
     if has_ln:
         # LN over C — requires the full-C tile (tc == C, enforced below)
@@ -349,6 +401,9 @@ def _token_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref,
         dimension_numbers=(((0,), (0,)), ((), ())),  # (Cc, H)
         preferred_element_type=jnp.float32,
     ) + b1_ref[0].astype(jnp.float32)
+    if emit_u:
+        # grad-mode residual: the token-mix pre-activation (see _mlp_kernel)
+        u_ref[0] = h.astype(u_ref.dtype)
     h = _act_fn(act, in_kernel=True)(h).astype(x_t.dtype)
     # (H, T) contracted with (Cc, H) over H -> (T, Cc): output lands back in
     # the (T, C) layout directly
@@ -368,13 +423,13 @@ def _token_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref,
     jax.jit,
     static_argnames=(
         "act", "has_shortcut", "interpret", "has_ln", "ln_eps",
-        "residual_input",
+        "residual_input", "emit_u",
     ),
 )
 def _token_mlp_impl(x, w1, b1, w2, b2, shortcut, lns, lnb, *, act: str,
                     has_shortcut: bool, has_ln: bool = False,
                     ln_eps: float = 1e-6, residual_input: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False, emit_u: bool = False):
     b, t, c = x.shape
     f = w1.shape[1]
     # the in-kernel LN normalizes over C, so the program must see the full
@@ -393,10 +448,21 @@ def _token_mlp_impl(x, w1, b1, w2, b2, shortcut, lns, lnb, *, act: str,
 
     lns_arg = lns.reshape(1, c) if has_ln else jnp.zeros((1, tc), x.dtype)
     lnb_arg = lnb.reshape(1, c) if has_ln else jnp.zeros((1, tc), x.dtype)
+    o_spec = pl.BlockSpec((1, t, tc), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    if emit_u:
+        out_specs = [o_spec, pl.BlockSpec((1, tc, f), lambda i, j: (i, j, 0),
+                                          memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct((b, t, c), x.dtype),
+                      jax.ShapeDtypeStruct((b, c, f), x.dtype)]
+    else:
+        out_specs = o_spec
+        out_shapes = jax.ShapeDtypeStruct((b, t, c), x.dtype)
     return pl.pallas_call(
         functools.partial(
             _token_mlp_kernel, act=act, has_shortcut=has_shortcut,
             has_ln=has_ln, ln_eps=ln_eps, residual_input=residual_input,
+            emit_u=emit_u,
         ),
         grid=(b, c // tc),
         in_specs=[
@@ -419,9 +485,8 @@ def _token_mlp_impl(x, w1, b1, w2, b2, shortcut, lns, lnb, *, act: str,
             pl.BlockSpec((1, tc), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, tc), lambda i, j: (i, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x, w1, b1.reshape(1, f), w2, b2.reshape(t, 1), s_arg,
       lns_arg, lnb_arg)
@@ -439,40 +504,62 @@ def _token_mlp(x, w1, b1, w2, b2, shortcut, lns, lnb, act, interpret,
 
 def _token_mlp_fwd(x, w1, b1, w2, b2, shortcut, lns, lnb, act, interpret,
                    ln_eps, residual_input):
-    out = _token_mlp_impl(
+    """Grad-mode forward: also streams out the (B, C, H) token-mix
+    pre-activation so the backward never re-runs the fc1 contraction."""
+    out, u = _token_mlp_impl(
         x, w1, b1, w2, b2, shortcut, lns, lnb, act=act,
         has_shortcut=shortcut is not None, has_ln=lns is not None,
         ln_eps=ln_eps, residual_input=residual_input, interpret=interpret,
+        emit_u=True,
     )
-    return out, (x, w1, b1, w2, b2, shortcut, lns, lnb)
+    return out, (x, w1, b1, w2, b2, shortcut, lns, lnb, u)
 
 
 def _token_mlp_bwd(act, interpret, ln_eps, residual_input, residuals, g):
+    """Hand-composed exact gradients from the saved pre-activation
+    (token_mlp_reference semantics: u[b,c,h] = Σ_t LN(x)[b,t,c]·w1[t,h],
+    y[b,t,c] = Σ_h act(u)[b,c,h]·w2[h,t] + b2[t] [+ shortcut])."""
     del interpret
-    x, w1, b1, w2, b2, shortcut, lns, lnb = residuals
-    has_shortcut = shortcut is not None
-    has_ln = lns is not None
+    x, w1, b1, w2, b2, shortcut, lns, lnb, u = residuals
+    f32 = jnp.float32
+    gf = g.astype(f32)
+    gc = g.astype(x.dtype)
 
-    def ref(x, w1, b1, w2, b2, shortcut, lns, lnb):
-        y = token_mlp_reference(
-            x, w1, b1, w2, b2, shortcut if has_shortcut else None, act=act,
-            ln=(lns, lnb) if has_ln else None, ln_eps=ln_eps,
-        )
-        if residual_input:
-            y = y + x
-        return y
+    if lns is not None:
+        def ln_fn(xx, ss, bb):
+            return _ln_f32(xx, ss, bb, ln_eps).astype(x.dtype)
 
-    args = (x, w1, b1, w2, b2,
-            shortcut if has_shortcut else jnp.zeros_like(x),
-            lns if has_ln else jnp.zeros((x.shape[-1],), x.dtype),
-            lnb if has_ln else jnp.zeros((x.shape[-1],), x.dtype))
-    _, vjp = jax.vjp(ref, *args)
-    dx, dw1, db1, dw2, db2, dshort, dlns, dlnb = vjp(g.astype(x.dtype))
-    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b2.dtype),
-            dshort.astype(shortcut.dtype) if has_shortcut else None,
-            dlns.astype(lns.dtype) if has_ln else None,
-            dlnb.astype(lnb.dtype) if has_ln else None)
+        xn, ln_vjp = jax.vjp(ln_fn, x, lns, lnb)
+    else:
+        xn, ln_vjp = x, None
+    h_f32, act_vjp = jax.vjp(_act_fn(act), u.astype(f32))
+    h = h_f32.astype(x.dtype)
+
+    db2 = jnp.sum(gf, axis=(0, 2)).astype(b2.dtype)  # (T,)
+    # y[b,t,c] = Σ_h h[b,c,h] w2[h,t]
+    dh = jnp.einsum("btc,ht->bch", gc, w2.astype(x.dtype),
+                    preferred_element_type=f32)
+    dw2 = jnp.einsum("bch,btc->ht", h, gc,
+                     preferred_element_type=f32).astype(w2.dtype)
+    du = act_vjp(dh)[0]
+    duc = du.astype(x.dtype)
+    db1 = jnp.sum(du, axis=(0, 1)).astype(b1.dtype)  # (H,)
+    # u[b,c,h] = Σ_t xn[b,t,c] w1[t,h]
+    dxn = jnp.einsum("bch,th->btc", duc, w1.astype(x.dtype),
+                     preferred_element_type=f32).astype(x.dtype)
+    dw1 = jnp.einsum("btc,bch->th", xn.astype(x.dtype), duc,
+                     preferred_element_type=f32).astype(w1.dtype)
+    if ln_vjp is not None:
+        dx, dlns, dlnb = ln_vjp(dxn)
+        dx = dx.astype(f32)
+        dlns = dlns.astype(lns.dtype)
+        dlnb = dlnb.astype(lnb.dtype)
+    else:
+        dx, dlns, dlnb = dxn.astype(f32), None, None
+    if residual_input:
+        dx = dx + gf
+    dshort = g.astype(shortcut.dtype) if shortcut is not None else None
+    return (dx.astype(x.dtype), dw1, db1, dw2, db2, dshort, dlns, dlnb)
 
 
 _token_mlp.defvjp(_token_mlp_fwd, _token_mlp_bwd)

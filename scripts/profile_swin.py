@@ -153,3 +153,17 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def stem_only(batch=256, iters=10):
+    """Time the trunk with ZERO blocks: stem + 3 patch-merges + norm +
+    head — isolates the 13.3 ms 'stem+merges+head+overlap' residual from
+    the stage attribution (is it layout-op slack or irreducible?)."""
+    from robustart_tpu.models.swin import SwinTransformer
+
+    m = SwinTransformer(depths=(0, 0, 0, 0), embed_dim=128,
+                        num_heads=(4, 8, 16, 32), dtype=jnp.bfloat16,
+                        drop_path=0.0)
+    ms = time_model(m, batch, iters=iters)
+    print(f"depths=(0,0,0,0) stem+merges+head: {ms:.2f} ms/batch "
+          f"({batch / ms * 1e3:,.0f} img/s)", flush=True)

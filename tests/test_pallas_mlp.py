@@ -330,3 +330,26 @@ def test_token_mlp_no_ln_wide_channels_multiblock():
     got = token_mlp_pallas(x, w1, b1, w2, b2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_gradients_with_f_chunking():
+    """F large enough to force nf>1: the grad-mode pre-activation residual
+    is assembled from per-(row, chunk) blocks — a wrong u BlockSpec index
+    map would scramble whole chunks."""
+    x, w1, b1, w2, b2 = _data(m=16, c=512, f=4096, seed=20)
+
+    def loss(fn, *args):
+        out = fn(*args)
+        return jnp.sum(out * jnp.sin(out))
+
+    gp = jax.grad(
+        lambda *a: loss(lambda *z: mlp_pallas(*z, interpret=True), *a),
+        argnums=(0, 1, 3),
+    )(x, w1, b1, w2, b2)
+    gr = jax.grad(
+        lambda *a: loss(mlp_reference, *a), argnums=(0, 1, 3)
+    )(x, w1, b1, w2, b2)
+    for a, r in zip(gp, gr):
+        assert float(jnp.abs(r).max()) > 0.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
