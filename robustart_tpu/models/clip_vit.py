@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from robustart_tpu.models.layers import DenseParams, LNParams, layer_norm
+from robustart_tpu.models.layers import (
+    DenseParams,
+    LNParams,
+    PatchifyConv,
+    layer_norm,
+)
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:
@@ -137,9 +142,8 @@ class CLIPVisionClassifier(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         b = x.shape[0]
-        x = nn.Conv(
+        x = PatchifyConv(
             self.width, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size), padding="VALID",
             use_bias=False, dtype=self.dtype, name="patch_embed",
         )(x)
         x = x.reshape(b, -1, self.width)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from robustart_tpu.models.layers import DropPath
+from robustart_tpu.models.layers import DropPath, PatchifyConv
 from robustart_tpu.ops.pallas_convnext import (
     dwconv_ln_pallas,
     dwconv_ln_reference,
@@ -166,18 +166,17 @@ class ConvNeXt(nn.Module):
         bi = 0
         for si, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if si == 0:
-                x = nn.Conv(
-                    dim, (4, 4), strides=(4, 4), padding="VALID",
-                    dtype=self.dtype, name="stem_conv",
+                x = PatchifyConv(
+                    dim, (4, 4), dtype=self.dtype, name="stem_conv",
                 )(x)
                 x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
             else:
                 x = nn.LayerNorm(
                     epsilon=1e-6, dtype=self.dtype, name=f"downsample_norm{si}"
                 )(x)
-                x = nn.Conv(
-                    dim, (2, 2), strides=(2, 2), padding="VALID",
-                    dtype=self.dtype, name=f"downsample_conv{si}",
+                x = PatchifyConv(
+                    dim, (2, 2), dtype=self.dtype,
+                    name=f"downsample_conv{si}",
                 )(x)
             for di in range(depth):
                 x = ConvNeXtBlock(

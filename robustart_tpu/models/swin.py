@@ -21,6 +21,7 @@ from robustart_tpu.models.layers import (
     DenseParams,
     DropPath,
     LNParams,
+    PatchifyConv,
     layer_norm,
 )
 
@@ -270,9 +271,8 @@ class SwinTransformer(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         deterministic = not train
         b = x.shape[0]
-        x = nn.Conv(
-            self.embed_dim, (4, 4), strides=(4, 4), padding="VALID",
-            dtype=self.dtype, name="patch_embed",
+        x = PatchifyConv(
+            self.embed_dim, (4, 4), dtype=self.dtype, name="patch_embed",
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
         total = sum(self.depths)

@@ -23,6 +23,7 @@ from robustart_tpu.models.layers import (
     DenseParams,
     DropPath,
     LNParams,
+    PatchifyConv,
     layer_norm,
 )
 
@@ -255,11 +256,9 @@ class VisionTransformer(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         deterministic = not train
         b = x.shape[0]
-        x = nn.Conv(
+        x = PatchifyConv(
             self.embed_dim,
             (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
             dtype=self.dtype,
             name="patch_embed",
         )(x)

@@ -724,6 +724,15 @@ def _window_block_bwd(num_heads, num_windows, eps, wpb, head_groups,
     dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k4) * scale
     dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q4) * scale
     d_bias = jnp.sum(ds.astype(f32), axis=0)
+    if rel_bias.shape != (h, n, n):
+        # broadcast bias (ViT passes (H, 1, 1) zeros): sum the cotangent
+        # down to the primal's shape — custom_vjp does NOT check this, so
+        # a full-shape return would silently mis-shape a trained bias
+        d_bias = jnp.sum(
+            d_bias,
+            axis=tuple(i for i, s in enumerate(rel_bias.shape) if s == 1),
+            keepdims=True,
+        )
     d_mask = (
         None
         if mask is None

@@ -339,3 +339,29 @@ def test_window_block_head_grouped_lane_aligned_shape():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_broadcast_bias_cotangent_shape():
+    """ViT passes a (H, 1, 1) broadcast-zeros bias table: its cotangent
+    must be summed down to the primal's shape (custom_vjp does NOT check
+    bwd output shapes — a full (H, N, N) return would silently mis-shape
+    a trained bias) and equal the full-shape grad's broadcast-sum."""
+    args = list(_data(bnw=4, h=2, with_mask=False, seed=7))
+    h, n = 2, 49
+    rb_small = jnp.asarray(
+        np.random.default_rng(8).standard_normal((h, 1, 1)) * 0.3,
+        jnp.float32)
+
+    def loss(rb, full):
+        a = list(args)
+        a[11] = jnp.broadcast_to(rb, (h, n, n)) if full else rb
+        out = window_block_pallas(*a, num_windows=1, wpb=4, interpret=True)
+        return jnp.sum(out * out)
+
+    g_small = jax.grad(loss)(rb_small, False)
+    g_full = jax.grad(loss)(jnp.broadcast_to(rb_small, (h, n, n)), True)
+    assert g_small.shape == (h, 1, 1)
+    np.testing.assert_allclose(
+        np.asarray(g_small),
+        np.asarray(jnp.sum(g_full, axis=(1, 2), keepdims=True)),
+        rtol=2e-4, atol=2e-4)
