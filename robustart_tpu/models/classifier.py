@@ -12,6 +12,7 @@ composes with every model without re-plumbing constants.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -33,9 +34,27 @@ def _fused_eval_fn(module):
 
     if (
         isinstance(module, DenseNet)
-        and module.block_impl == "pallas"  # opt-in until chip-validated
+        and module.block_impl == "pallas"
         and jax.default_backend() == "tpu"
     ):
+        # BURIED (round 4): two separate chip attempts (r3 + r4) wedged the
+        # TPU worker process on this kernel's first dispatch — recovery
+        # takes ~30 min each time and kills every job on the chip. The
+        # kernel stays interpret-mode-correct (tests/test_pallas_densenet)
+        # but must never run on shared hardware. See WORKLOG "DenseNet
+        # whole-block kernel: buried".
+        import warnings
+
+        warnings.warn(
+            "DenseNet block_impl='pallas' has wedged the TPU worker on both "
+            "chip attempts (WORKLOG round 4); running it on real TPU "
+            "hardware risks a ~30 min worker outage. Set "
+            "ROBUSTART_DENSENET_PALLAS_UNSAFE=1 to proceed anyway.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        if os.environ.get("ROBUSTART_DENSENET_PALLAS_UNSAFE") != "1":
+            return None
         from robustart_tpu.models.densenet import fused_eval_forward
 
         return fused_eval_forward

@@ -57,11 +57,12 @@ class DenseNet(nn.Module):
     num_init_features: int = 64
     num_classes: int = 1000
     dtype: Any = jnp.float32
-    # 'pallas' (opt-in): deterministic TPU forwards run the whole-block
-    # Pallas kernel via the mirror eval path (fused_eval_forward — the
-    # growing concat buffer stays VMEM-resident, ops/pallas_densenet.py).
-    # 'auto' currently equals 'xla' (the flax module forward): the kernel
-    # stays opt-in until chip-validated (classifier.py gates on == 'pallas').
+    # 'pallas' (BURIED — do not use on hardware): the whole-block VMEM
+    # kernel (ops/pallas_densenet.py) wedged the TPU worker process on both
+    # chip attempts (r3 + r4, ~30 min outage each). It remains
+    # interpret-mode-correct and opt-in for study, but classifier.py refuses
+    # to dispatch it on a real TPU unless ROBUSTART_DENSENET_PALLAS_UNSAFE=1.
+    # 'auto' equals 'xla' (the flax module forward).
     block_impl: str = "auto"
     # 'concat': rebuild the concatenated tensor every layer (torch-style).
     # 'buffer': preallocate each dense block's final channel extent once and
@@ -70,9 +71,9 @@ class DenseNet(nn.Module):
     # 'auto' (measured, batch 256 bf16 on chip — WORKLOG r3): the DUS write
     # path degrades on large spatial maps (28² block: buffer 17.7 ms vs
     # concat 14.8 in-model) while 'buffer' wins at 14²/7² — 'auto' mixes
-    # them. Default stays 'buffer' (chip-validated end to end); both are
-    # stopgaps — the real fix is block_impl='pallas' (whole-block VMEM
-    # kernel, ops/pallas_densenet.py).
+    # them. Default stays 'buffer' (chip-validated end to end). The
+    # whole-block VMEM kernel that was meant to replace both is buried
+    # (see block_impl above) — 'buffer' is the production path.
     concat_impl: str = "buffer"
 
     @nn.compact

@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 from robustart_tpu.attacks import ATTACKS
-from robustart_tpu.noise.corruptions import corrupt, corrupt_batch, jpeg_compression_batch
+from robustart_tpu.noise.corruptions import corrupt, corrupt_batch
 from robustart_tpu.noise.imagenet_s import add_noise_for_imagenet_s
 
 noise_list = [
@@ -91,8 +91,6 @@ def _add_noise_for_imagenet_c(image, severity=1, corruption_name=None,
     from robustart_tpu.noise.corruptions import CORRUPTION_ORDER
 
     name = corruption_name or CORRUPTION_ORDER[corruption_number]
-    if name == "jpeg_compression":
-        return jpeg_compression_batch(arr.astype(np.uint8), severity)
     x01 = arr.astype(np.float32) / 255.0
     key = jax.random.key(int(seed) if seed is not None else
                          int(np.random.default_rng().integers(2**31)))

@@ -13,8 +13,11 @@ Plus the TPU-native fast path the reference lacks:
 - ``corrupt_batch(x, key, name, severity)`` — jitted, vmapped over the batch,
   runs fully on device (robustart_tpu.noise.corruptions.jax_kernels).
 
-``jpeg_compression`` runs host-side through PIL's real JPEG codec — identical
-to the reference (corruptions.py:374-380); everything else runs on device.
+All 19 corruptions run on device, including ``jpeg_compression`` (bit-exact
+integer libjpeg transcode, robustart_tpu.noise.corruptions.jpeg_jax). The
+PIL host path is kept as ``jpeg_compression_host`` — it is the oracle the
+device kernel is asserted bitwise-equal against (tests/test_jpeg_jax.py) and
+matches the reference exactly (corruptions.py:374-380).
 """
 
 from __future__ import annotations

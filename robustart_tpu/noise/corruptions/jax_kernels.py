@@ -25,8 +25,10 @@ they are validated distributionally (SURVEY.md §7 "hard parts" #1). The
 glass_blur pixel shuffle is the standard gather approximation of the
 reference's sequential swap loop (corruptions.py:169-185).
 
-``jpeg_compression`` requires a real entropy codec and stays host-side
-(see robustart_tpu.noise.corruptions.jpeg_compression_host).
+``jpeg_compression`` runs on device through the bit-exact integer libjpeg
+transcode in robustart_tpu.noise.corruptions.jpeg_jax (the entropy stage is
+lossless, so no codec is needed for the pixel effect); the PIL host path
+remains available as robustart_tpu.noise.corruptions.jpeg_compression_host.
 """
 
 from __future__ import annotations
@@ -38,6 +40,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from robustart_tpu.noise.corruptions.jpeg_jax import (
+    jpeg_compression as _jpeg_compression,
+)
 from robustart_tpu.ops.image import (
     disk_kernel,
     filter2d_same,
@@ -700,8 +705,10 @@ CORRUPTIONS = {
     "contrast": contrast,
     "elastic_transform": elastic_transform,
     "pixelate": pixelate,
-    # jpeg_compression is host-side (real entropy codec); the dispatcher in
-    # noise.corruptions handles it — kernels dict carries a sentinel
+    # bit-exact on-device libjpeg transcode (entropy coding is lossless, so
+    # the pixel effect needs no codec) — robustart_tpu/noise/corruptions/
+    # jpeg_jax.py, asserted bitwise vs PIL in tests/test_jpeg_jax.py
+    "jpeg_compression": _jpeg_compression,
     "speckle_noise": speckle_noise,
     "gaussian_blur": gaussian_blur_c,
     "spatter": spatter,

@@ -31,6 +31,17 @@ static shape: ``W1`` as (S, mid) with S = Σ c_li, BN affines as (1, S),
 the 3x3 kernels as (L*9*mid, g). Differentiable via custom VJP
 (recompute through the XLA reference formulation — exact input and
 parameter gradients).
+
+STATUS: BURIED (round 4). Both chip attempts — round 3 and round 4 —
+wedged the TPU worker process on this kernel's FIRST dispatch (even an
+8x8 jnp.sum hangs afterwards; recovery ~30 min). The kernel never
+produced a hardware timing. It stays in-tree interpret-mode-correct
+(tests/test_pallas_densenet.py) as a record of the design, but
+classifier.py refuses to dispatch it on real TPUs without
+ROBUSTART_DENSENET_PALLAS_UNSAFE=1. The densenet121 production path is
+the XLA 'buffer' concat (6,329 img/s measured, benchmarks/RESULTS.md);
+the WORKLOG "DenseNet whole-block kernel: buried" entry has the full
+bottleneck study and the wedge forensics.
 """
 
 from __future__ import annotations

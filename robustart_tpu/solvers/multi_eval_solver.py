@@ -34,10 +34,7 @@ import numpy as np
 from robustart_tpu.core.logging import get_logger
 from robustart_tpu.data import build_dataloader
 from robustart_tpu.metrics import ImageNetCEvaluator, mean_corruption_error
-from robustart_tpu.noise.corruptions import (
-    CORRUPTION_ORDER,
-    jpeg_compression_batch,
-)
+from robustart_tpu.noise.corruptions import CORRUPTION_ORDER
 from robustart_tpu.solvers.base import ResultWriter, Solver, standard_solver_argparser
 
 logger = get_logger("robustart.multi_eval")
@@ -295,12 +292,8 @@ class MultiEvalSolver(Solver):
         # VPU work with the first conv layers.
         from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
 
-        corrupt_fn = CORRUPTIONS.get(corruption)
-        qclf = (
-            self._online_quantized(loader, corrupt_fn, severity)
-            if corrupt_fn is not None
-            else None
-        )
+        corrupt_fn = CORRUPTIONS[corruption]
+        qclf = self._online_quantized(loader, corrupt_fn, severity)
 
         # `params` is the first jit ARGUMENT (float variables or int8
         # qparams — never a closure constant: models/quantize_vit.py docstring
@@ -318,32 +311,15 @@ class MultiEvalSolver(Solver):
             return clf.apply_fn(params, k / 255.0, train=False)
 
         step_params = self._online_qparams if qclf is not None else variables
-        if (
-            corrupt_fn is None
-            and self.cfg.get_path("model.quantize") == "int8"
-            and not getattr(self, "_quantize_checked", False)
-        ):
-            # jpeg_compression (host-side codec, corrupt_fn None) goes
-            # through the generic uint8 eval forward — swap it ONCE, and
-            # only when such a cell is actually reached (on-device
-            # corruptions use _online_quantized; a second clean-calibrated
-            # model here would be duplicate calibration + compile)
-            self._quantize_checked = True
-            self.maybe_quantize(loader)
-        eval_fn = self.eval_fn()
         writer = ResultWriter(res_file, self.rank, self.world_size)
         key = jax.random.key(int(cfg.get("seed", 0)) * 131 + severity)
         n_written = 0
         t0 = time.time()
         for bi, batch in enumerate(loader):
-            if corruption == "jpeg_compression":
-                images = jpeg_compression_batch(batch.image, severity)
-                logits = np.asarray(eval_fn(variables, images))
-            else:
-                logits = np.asarray(
-                    fused_step(step_params, batch.image,
-                               jax.random.fold_in(key, bi))
-                )
+            logits = np.asarray(
+                fused_step(step_params, batch.image,
+                           jax.random.fold_in(key, bi))
+            )
             for i in range(len(batch.mask)):
                 if batch.mask[i]:
                     writer.write(

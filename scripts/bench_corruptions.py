@@ -9,8 +9,9 @@ corruption, on two pipelines:
 - resnet50_official int8 PTQ eval path, batch 512 (the headline config),
 - vit_b16_224 bf16 fused-block path, batch 256 (the zoo config).
 
-jpeg_compression is host-side by design (real PIL entropy codec, reference
-corruptions.py:374-380) and is timed separately on the host.
+jpeg_compression runs on device (bit-exact integer libjpeg transcode,
+noise/corruptions/jpeg_jax.py); the legacy host PIL path is timed too as a
+comparison row (pipeline "host_pil").
 
 Megastep rules (CLAUDE.md): one jitted fori_loop over whole corrupted-eval
 batches, ONE scalar fetched. Deterministic corruptions (contrast,
@@ -160,8 +161,9 @@ def main():
 
     names = (
         args.corruptions.split(",") if args.corruptions
-        else [n for n in STANDARD_15 + EXTRA_4 if n != "jpeg_compression"]
+        else list(STANDARD_15 + EXTRA_4)
     )
+    partial = bool(args.corruptions)
     pipelines = build_pipelines(args.models.split(","), args.batch)
 
     rows = []
@@ -201,30 +203,37 @@ def main():
             })
             print(json.dumps(rows[-1]), flush=True)
 
+    # reference comparison row: the old host PIL jpeg path (the device
+    # jpeg_jax kernel above is bitwise-identical to it — tests/test_jpeg_jax)
     jpeg_rate = bench_host_jpeg(min(256, args.batch or 256))
     rows.append({"corruption": "jpeg_compression", "pipeline": "host_pil",
                  "severity": SEVERITY, "img_per_sec": round(jpeg_rate, 1)})
     print(json.dumps(rows[-1]), flush=True)
 
-    # geomeans per pipeline over the 15 standard corruptions; jpeg uses the
-    # host synthesis rate composed with the clean forward rate (they overlap
-    # in a real pipeline only if prefetched — compose conservatively serial)
+    # partial sweeps (--corruptions) merge into the existing table so a
+    # single re-measured kernel updates its rows + the geomean in place
+    json_path = osp.join(REPO, "benchmarks", "corruptions.json")
+    if partial and osp.exists(json_path):
+        with open(json_path) as f:
+            old = json.load(f)
+        fresh = {(r["corruption"], r["pipeline"]) for r in rows}
+        rows = [
+            r for r in old.get("rows", [])
+            if (r["corruption"], r["pipeline"]) not in fresh
+        ] + rows
+
     summary = {}
     for pname in pipelines:
         clean = next(r["img_per_sec"] for r in rows
                      if r["corruption"] == "clean" and r["pipeline"] == pname)
         vals = []
         for cname in STANDARD_15:
-            if cname == "jpeg_compression":
-                serial = 1.0 / (1.0 / jpeg_rate + 1.0 / clean)
-                vals.append(serial)
+            r = next((r for r in rows if r["corruption"] == cname
+                      and r["pipeline"] == pname), None)
+            if r is None or "img_per_sec" not in r:
+                vals.append(float("nan"))
             else:
-                r = next((r for r in rows if r["corruption"] == cname
-                          and r["pipeline"] == pname), None)
-                if r is None or "img_per_sec" not in r:
-                    vals.append(float("nan"))
-                else:
-                    vals.append(r["img_per_sec"])
+                vals.append(r["img_per_sec"])
         ok = [v for v in vals if v == v]
         summary[pname] = {
             "geomean_15_img_per_sec": round(
@@ -234,7 +243,7 @@ def main():
             "clean_img_per_sec": clean,
         }
     out = {"severity": SEVERITY, "rows": rows, "summary": summary}
-    with open(osp.join(REPO, "benchmarks", "corruptions.json"), "w") as f:
+    with open(json_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"summary": summary}), flush=True)
 
