@@ -444,6 +444,14 @@ def motion_blur_bank(x: jax.Array, idx: jax.Array, radius: float,
     the (n_offsets,) weight vector from a tiny host-built table. Taps where
     this angle's kernel has no entry contribute an exact ``0.0 * tap``.
     """
+    if x.ndim == 3 and _pallas_warp_ok(x.shape[0]):
+        # VMEM tap-loop kernel: walks only THIS image's ~n_taps kernel
+        # instead of streaming the ~300-offset union from HBM
+        # (ops/pallas_motion.py; motion_blur row 1,926 img/s → see
+        # benchmarks/corruptions.json round-4 re-measure)
+        from robustart_tpu.ops.pallas_motion import motion_blur_bank_pallas
+
+        return motion_blur_bank_pallas(x, idx, radius, sigma, angles)
     offsets, table, py, px = _motion_bank_table(
         float(radius), float(sigma), tuple(float(a) for a in angles)
     )

@@ -1,0 +1,81 @@
+"""Pallas motion-blur tap kernel: parity vs the direct per-angle form.
+
+The kernel (ops/pallas_motion.py) replaces the union-taps HBM streams of
+ops.image.motion_blur_bank on TPU. Agreement with the direct
+ops.image.motion_blur is ulp-level (VPU multiply-accumulate fusion); the
+union-taps form's own test uses the same tolerance class
+(tests/test_corruptions.py::test_motion_blur_bank_matches_branch_blur).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustart_tpu.ops.image import motion_blur
+from robustart_tpu.ops.pallas_motion import (
+    _angle_tap_table,
+    motion_blur_bank_pallas,
+)
+
+BANK = tuple(np.linspace(-45.0, 45.0, 32))
+
+
+@pytest.mark.parametrize("idx", [0, 13, 31])
+def test_matches_direct_motion_blur(idx):
+    rng = np.random.default_rng(idx)
+    x = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)), jnp.float32)
+    want = np.asarray(motion_blur(x, 15.0, 8.0, BANK[idx]))
+    got = np.asarray(
+        motion_blur_bank_pallas(x, jnp.int32(idx), 15.0, 8.0, BANK,
+                                interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=3e-7)
+
+
+def test_snow_shape_single_channel():
+    rng = np.random.default_rng(0)
+    bank = tuple(np.linspace(-135.0, -45.0, 32))
+    x = jnp.asarray(rng.uniform(0, 1, (64, 64, 1)), jnp.float32)
+    want = np.asarray(motion_blur(x, 20.0, 15.0, bank[5]))
+    got = np.asarray(
+        motion_blur_bank_pallas(x, jnp.int32(5), 20.0, 15.0, bank,
+                                interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=3e-7)
+
+
+def test_vmapped_batch_each_image_gets_its_angle():
+    rng = np.random.default_rng(2)
+    xb = jnp.asarray(rng.uniform(0, 1, (4, 64, 64, 3)), jnp.float32)
+    idxs = jnp.asarray([0, 7, 13, 31], jnp.int32)
+    outs = jax.vmap(
+        lambda xx, ii: motion_blur_bank_pallas(xx, ii, 15.0, 8.0, BANK,
+                                               interpret=True)
+    )(xb, idxs)
+    for bi in range(4):
+        want = np.asarray(motion_blur(xb[bi], 15.0, 8.0, BANK[int(idxs[bi])]))
+        np.testing.assert_allclose(np.asarray(outs[bi]), want, atol=3e-7)
+
+
+def test_tap_table_padding_is_zero_weight():
+    DY, DX, WT, py, px = _angle_tap_table(15.0, 8.0, BANK)
+    # per-severity radii give each angle the same tap count n = radius+1;
+    # any padded slots must carry exactly zero weight
+    for a in range(DY.shape[0]):
+        n = int((WT[a] > 0).sum())
+        assert np.all(WT[a, n:] == 0.0)
+    assert py <= 15 and px <= 15 + 1
+
+
+def test_all_severity_shapes_compile_in_interpreter():
+    """One tiny run per severity's (radius, sigma) — pins the pad/window
+    geometry (hw alignment) for every shape the corruption produces."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)), jnp.float32)
+    for radius, sigma in [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)]:
+        got = motion_blur_bank_pallas(x, jnp.int32(7), float(radius),
+                                      float(sigma), BANK, interpret=True)
+        want = motion_blur(x, float(radius), float(sigma), BANK[7])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-7)
