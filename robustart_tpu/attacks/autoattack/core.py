@@ -57,6 +57,8 @@ class AutoAttack:
         n_iter: int = 100,
         n_target_classes: int = 9,
         square_n_queries: int = 5000,
+        mesh=None,
+        data_axis: str = "data",
     ):
         # reference autoattack.py:32 accepts Linf/L2/L1
         assert norm in ("Linf", "L2", "L1"), norm
@@ -95,11 +97,39 @@ class AutoAttack:
         self._logits_fn = lambda variables, img: model.apply_fn(
             variables, img, train=False
         )
+        # Data-parallel attack generation: the reference runs its adversarial
+        # benchmark 8-GPU data-parallel (reference exprs/nips_benchmark/
+        # batch_eval_adv/eval.sh). Here a mesh shards every cascade-stage
+        # batch over `data_axis`; the jitted attack programs then run SPMD
+        # with XLA-inserted collectives. The host-side masked-worklist
+        # orchestration is untouched (it is per-sample and order-free).
+        # Equivalence with the single-device cascade is asserted by
+        # tests/test_parallel.py and __graft_entry__ phase 4.
+        self.mesh = mesh
+        self.data_axis = data_axis
+
+    def _put(self, arr):
+        """Device-put with batch-dim sharding when a mesh is configured."""
+        arr = jnp.asarray(arr)
+        if self.mesh is None:
+            return arr
+        n_dev = int(np.prod(
+            [self.mesh.shape[a] for a in (self.data_axis,)
+             if a in self.mesh.shape]
+        ))
+        if n_dev <= 1 or arr.shape[0] % n_dev:
+            # ragged tail (e.g. a final clean-pass chunk): replicate rather
+            # than fail — the worklist keeps attack chunks bs-sized/static
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(self.data_axis, *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     # -- helpers --
     def _predict(self, x) -> np.ndarray:
         return np.asarray(
-            jnp.argmax(self._logits_fn(self.model.variables, jnp.asarray(x)), 1)
+            jnp.argmax(self._logits_fn(self.model.variables, self._put(x)), 1)
         )
 
     def clean_accuracy(self, x, y, bs: int = 250) -> float:
@@ -114,7 +144,7 @@ class AutoAttack:
 
     def _ranked_targets(self, x, y, rank: int) -> np.ndarray:
         """target class = (rank+2)-th most probable class (rank 0 → 2nd)."""
-        logits = np.asarray(self._logits_fn(self.model.variables, jnp.asarray(x)))
+        logits = np.asarray(self._logits_fn(self.model.variables, self._put(x)))
         order = np.argsort(-logits, axis=1)
         # skip the true class when it tops the ranking
         targets = np.empty(x.shape[0], np.int32)
@@ -157,7 +187,11 @@ class AutoAttack:
             idx_robust = np.nonzero(robust)[0]
             for lo in range(0, len(idx_robust), bs):
                 sel = idx_robust[lo : lo + bs]
-                pad = bs - len(sel) if len(idx_robust) > bs else 0
+                # ALWAYS pad to bs (repeat the last index): every cascade
+                # stage then runs at one static shape — no recompiles as the
+                # robust set shrinks, and DP-mesh sharding never sees a
+                # ragged chunk (bs is validated divisible below)
+                pad = min(bs, n) - len(sel)
                 sel_p = (
                     np.concatenate([sel, np.repeat(sel[-1:], pad)])
                     if pad
@@ -165,8 +199,8 @@ class AutoAttack:
                 )
                 key, sub = jax.random.split(key)
                 x_try = self._run_one(attack, x[sel_p], y[sel_p], sub)
+                pred = self._predict(x_try)[: len(sel)]
                 x_try = x_try[: len(sel)]
-                pred = self._predict(x_try)
                 newly_broken = pred != y[sel]
                 # sanity: stay inside the eps-ball, no NaNs (reference
                 # autoattack.py:199-209)
@@ -210,8 +244,8 @@ class AutoAttack:
     def _run_one(self, attack: str, x, y, key) -> np.ndarray:
         fn = self._logits_fn
         variables = self.model.variables
-        xj = jnp.asarray(x)
-        yj = jnp.asarray(y)
+        xj = self._put(x)
+        yj = self._put(y)
         if attack == "apgd-ce":
             best = None
             best_f = None
@@ -244,7 +278,7 @@ class AutoAttack:
                 x_try, _ = apgd_attack(
                     fn, variables, xj, yj, jax.random.fold_in(key, 100 + rank),
                     eps=self.eps, norm=self.norm, loss="dlr-targeted",
-                    n_iter=self.n_iter, targets=jnp.asarray(targets),
+                    n_iter=self.n_iter, targets=self._put(targets),
                     eot_iter=self.eot_iter,
                 )
                 x_try = np.asarray(x_try)
@@ -269,7 +303,7 @@ class AutoAttack:
             for rank in range(self.n_target_classes):
                 targets = self._ranked_targets(x, y, rank)
                 x_try, norms = fab_attack_targeted(
-                    fn, variables, xj, yj, jnp.asarray(targets),
+                    fn, variables, xj, yj, self._put(targets),
                     jax.random.fold_in(key, 200 + rank),
                     eps=self.eps, norm=self.norm, n_iter=self.n_iter,
                 )

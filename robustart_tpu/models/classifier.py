@@ -32,6 +32,15 @@ def _fused_eval_fn(module):
     """
     from robustart_tpu.models.densenet import DenseNet
 
+    if isinstance(module, DenseNet) and module.block_impl in ("auto", "slab"):
+        # Concat-free slab forward (round 5): exact reassociation of the
+        # module graph that never materializes the growing concatenation —
+        # the chip-measured cost of DenseNet under XLA (WORKLOG r3: block-2
+        # concat writes 14.4 ms vs a 5.0 ms read floor). Pure XLA, no
+        # Pallas. Parity: tests/test_models.py::test_densenet_slab_parity.
+        from robustart_tpu.models.densenet import slab_eval_forward
+
+        return slab_eval_forward
     if (
         isinstance(module, DenseNet)
         and module.block_impl == "pallas"

@@ -142,6 +142,128 @@ def _fold_bn(p, s, eps=1e-5):
     return inv, p["bias"] - s["mean"] * inv
 
 
+def _tree_sum(terms):
+    """Balanced pairwise sum — keeps XLA add chains shallow (the TPU
+    compile helper chokes on ~200-term LINEAR add chains; blocks here
+    have ≤25 terms but tree-summing is free insurance)."""
+    terms = list(terms)
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def slab_eval_forward(module: DenseNet, variables, x):
+    """Concat-free DenseNet eval forward (exact reassociation of the module
+    graph; eval-mode BN folded to per-channel affines).
+
+    The round-3 chip study (WORKLOG) proved DenseNet's XLA cost is the
+    concat *writes*: rebuilding the growing concatenation through HBM costs
+    block-2 14.4 ms (concat chain) / 17.0 ms (DUS buffer) against a 5.0 ms
+    fixed-reads floor. This formulation never materializes the concat:
+
+    - each layer's 3×3-conv output stays its own ``(B,H,W,growth)`` slab;
+    - every 1×1-conv-over-concat splits exactly into per-slab matmuls,
+      ``concat(x_i) @ W == Σ x_i @ W_i`` (BN is per-channel, so its eval
+      affine and the following ReLU split identically along the slabs);
+    - transition layers additionally commute the (linear) 2×2 avg-pool
+      *inside* the per-slab sum: ``pool(Σ relu(aff(x_i)) @ W_i) ==
+      Σ pool(relu(aff(x_i))) @ W_i`` — quartering the transition matmul
+      traffic;
+    - the final norm5→ReLU→global-pool runs per slab, concatenating only
+      the pooled ``(B, c)`` features.
+
+    Per layer the only HBM writes are the bottleneck mid tensor and the new
+    growth-rate slab — the fixed floor. Numeric parity vs ``module.apply``
+    is asserted by tests/test_models.py (float reassociation only).
+
+    Reference behavior: torchvision densenet forward semantics
+    (reference exprs/robust_baseline_exp/densenet/densenet121/config.yaml).
+    """
+    p, st = variables["params"], variables["batch_stats"]
+    dt = module.dtype
+    g = module.growth_rate
+    mid = 4 * g
+
+    x = jax.lax.conv_general_dilated(
+        x.astype(dt), p["conv0"]["kernel"].astype(dt), (2, 2),
+        [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    a, b = _fold_bn(p["norm0"], st["norm0"])
+    x = jax.nn.relu(x * a.astype(dt) + b.astype(dt))
+    x = jax.lax.reduce_window(
+        x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max, (1, 3, 3, 1),
+        (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+    def slab_matmul_sum(slabs, offsets, bn_p, bn_s, w):
+        """relu(BN(concat(slabs))) @ w without the concat. ``w`` is the
+        full (c_total, out) matrix; per-slab row blocks are static slices."""
+        a, b = _fold_bn(bn_p, bn_s)
+        a, b = a.astype(dt), b.astype(dt)
+        terms = []
+        for s, off in zip(slabs, offsets):
+            c = s.shape[-1]
+            y = jax.nn.relu(s * a[off:off + c] + b[off:off + c])
+            terms.append(jnp.einsum("bhwc,cm->bhwm", y, w[off:off + c]))
+        return _tree_sum(terms)
+
+    for bi, n_layers in enumerate(module.block_config):
+        slabs = [x]
+        offsets = [0]
+        c0 = x.shape[-1]
+        for li in range(n_layers):
+            lp = p[f"denseblock{bi + 1}_layer{li + 1}"]
+            ls = st[f"denseblock{bi + 1}_layer{li + 1}"]
+            c = c0 + li * g
+            h = slab_matmul_sum(
+                slabs, offsets,
+                lp["_BNReLUConv_0"]["BatchNorm_0"],
+                ls["_BNReLUConv_0"]["BatchNorm_0"],
+                lp["_BNReLUConv_0"]["Conv_0"]["kernel"].reshape(c, mid)
+                .astype(dt),
+            )
+            a2, b2 = _fold_bn(lp["_BNReLUConv_1"]["BatchNorm_0"],
+                              ls["_BNReLUConv_1"]["BatchNorm_0"])
+            h = jax.nn.relu(h * a2.astype(dt) + b2.astype(dt))
+            new = jax.lax.conv_general_dilated(
+                h, lp["_BNReLUConv_1"]["Conv_0"]["kernel"].astype(dt),
+                (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            slabs.append(new)
+            offsets.append(c)
+        c_total = c0 + n_layers * g
+        if bi != len(module.block_config) - 1:
+            tn = f"transition{bi + 1}"
+            a, b = _fold_bn(p[tn]["BatchNorm_0"], st[tn]["BatchNorm_0"])
+            a, b = a.astype(dt), b.astype(dt)
+            wt = (p[tn]["Conv_0"]["kernel"]
+                  .reshape(c_total, c_total // 2).astype(dt))
+            terms = []
+            for s, off in zip(slabs, offsets):
+                c = s.shape[-1]
+                y = jax.nn.relu(s * a[off:off + c] + b[off:off + c])
+                y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+                terms.append(jnp.einsum("bhwc,cm->bhwm", y, wt[off:off + c]))
+            x = _tree_sum(terms)
+        else:
+            a, b = _fold_bn(p["norm5"], st["norm5"])
+            a, b = a.astype(dt), b.astype(dt)
+            pooled = []
+            for s, off in zip(slabs, offsets):
+                c = s.shape[-1]
+                y = jax.nn.relu(s * a[off:off + c] + b[off:off + c])
+                pooled.append(global_avg_pool(y).astype(jnp.float32))
+            x = jnp.concatenate(pooled, axis=-1)
+    return (
+        x @ p["classifier"]["kernel"].astype(jnp.float32)
+        + p["classifier"]["bias"].astype(jnp.float32)
+    )
+
+
 def fused_eval_forward(module: DenseNet, variables, x, *,
                        interpret: bool = False):
     """Mirror of ``DenseNet.__call__`` (train=False) reading the variables

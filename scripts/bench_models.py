@@ -51,7 +51,7 @@ def _measure(step_fn, params, x, batch, iters=10, warm=2):
     return batch * iters / dt
 
 
-def bench_model(name: str, batch: int) -> dict:
+def bench_model(name: str, batch: int, skip_int8: bool = False) -> dict:
     from robustart_tpu.models import create_classifier
 
     row = {"model": name, "batch": batch}
@@ -84,7 +84,7 @@ def bench_model(name: str, batch: int) -> dict:
         _measure(mega_bf, clf.variables, x_u8, batch), 1
     )
 
-    if type(module).__name__ in INT8_FAMILIES:
+    if not skip_int8 and type(module).__name__ in INT8_FAMILIES:
         clf32 = create_classifier(name, rng=0, input_size=224)
         calib = rng.integers(0, 256, (128, 224, 224, 3), np.uint8)
         fam = type(module).__name__
@@ -160,6 +160,7 @@ def main(argv=None):
     ap.add_argument("--models", default=",".join(DEFAULT_MODELS))
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--out", default=osp.join(REPO, "benchmarks"))
+    ap.add_argument("--skip-int8", action="store_true")
     args = ap.parse_args(argv)
 
     import os
@@ -168,7 +169,8 @@ def main(argv=None):
     rows = []
     for name in args.models.split(","):
         try:
-            row = bench_model(name.strip(), args.batch)
+            row = bench_model(name.strip(), args.batch,
+                              skip_int8=args.skip_int8)
         except Exception as e:  # keep the sweep alive past one bad model
             row = {"model": name, "error": f"{type(e).__name__}: {e}"[:200]}
         print(json.dumps(row))
@@ -194,7 +196,7 @@ def main(argv=None):
         json.dump(payload, f, indent=2)
 
     lines = [
-        "# Model-zoo eval throughput (one TPU chip, measured)",
+        "## Model-zoo eval throughput (one TPU chip, measured)",
         "",
         f"Device: `{dev}` — batch {args.batch}, 224², bf16 forward "
         "(uint8 in, /255 + normalize fused); int8 = PTQ eval path where the "
@@ -219,14 +221,20 @@ def main(argv=None):
                 )
             )
     md_path = osp.join(args.out, "RESULTS.md")
+    prefix = ""
     notes = ""
     if osp.exists(md_path):
         with open(md_path) as f:
             old = f.read()
-        if "\nNotes:" in old:  # hand-written notes survive regeneration
-            notes = "\nNotes:" + old.split("\nNotes:", 1)[1]
+        marker = "## Model-zoo eval throughput"
+        rest = old
+        if marker in old:  # other sections before ours survive regeneration
+            prefix, tail = old.split(marker, 1)
+            rest = marker + tail
+        if "\nNotes:" in rest:  # hand-written notes survive regeneration
+            notes = "\nNotes:" + rest.split("\nNotes:", 1)[1]
     with open(md_path, "w") as f:
-        f.write("\n".join(lines) + "\n" + notes)
+        f.write(prefix + "\n".join(lines) + "\n" + notes)
     print(f"wrote {md_path}")
 
 

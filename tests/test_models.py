@@ -109,3 +109,33 @@ def test_grad_flows_through_input():
     g = jax.grad(loss)(x)
     assert g.shape == x.shape
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_densenet_slab_parity():
+    """Concat-free slab eval forward == module.apply (float reassociation
+    only; f32 so the tolerance is tight)."""
+    from robustart_tpu.models.densenet import DenseNet, slab_eval_forward
+
+    module = DenseNet(block_config=(2, 3), growth_rate=8,
+                      num_init_features=16, num_classes=11)
+    rng = jax.random.key(0)
+    x = jax.random.uniform(jax.random.key(1), (2, SMALL_INPUT, SMALL_INPUT, 3))
+    variables = module.init({"params": rng}, x, train=False)
+    ref = module.apply(variables, x, train=False)
+    got = slab_eval_forward(module, variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_densenet_classifier_dispatches_slab():
+    """create_classifier's eval path runs the slab forward by default and
+    stays grad-able (attack boundary)."""
+    clf = create_classifier("densenet121", rng=0, input_size=SMALL_INPUT)
+    x = jnp.full((1, SMALL_INPUT, SMALL_INPUT, 3), 0.5, jnp.float32)
+    ref = clf.module.apply(clf.variables, x * 0.8 + 0.06, train=False)
+    got = clf(x)  # apply_fn normalizes internally; just check shape+finite
+    assert got.shape == (1, 1000)
+    assert np.isfinite(np.asarray(got)).all()
+    del ref
+    g = jax.grad(lambda im: clf.logits_fn()(clf.variables, im).sum())(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0

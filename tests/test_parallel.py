@@ -168,3 +168,67 @@ def test_solver_tensor_parallel_train_smoke(tmp_path):
     qkv = solver._train_state.params["block0"]["attn"]["qkv"]["kernel"]
     spec = qkv.sharding.spec
     assert "model" in str(spec), spec
+
+
+def test_dp_sharded_pgd_matches_single_device():
+    """DP-sharded PGD-20 == single-device PGD-20 (the reference generates
+    attacks 8-GPU data-parallel, reference exprs/nips_benchmark/
+    batch_eval_adv/eval.sh — per-sample grads are batch-independent, so
+    sharding the batch axis must not change the adversarial output)."""
+    from robustart_tpu.attacks.gradient import pgd_linf
+    from robustart_tpu.models import create_classifier
+
+    mesh = get_mesh(("data",))
+    clf = create_classifier("deit_tiny_b16_224", rng=0, input_size=32,
+                            num_classes=8)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    y = (np.arange(8) % 8).astype(np.int32)
+    key = jax.random.key(7)
+
+    attack = jax.jit(
+        lambda v, xb, yb, k: pgd_linf(clf.logits_fn(), v, xb, yb, k, steps=20)
+    )
+    adv_single = np.asarray(attack(clf.variables, jnp.asarray(x),
+                                   jnp.asarray(y), key))
+
+    from jax.sharding import NamedSharding
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    adv_sharded = np.asarray(attack(clf.variables, xs, ys, key))
+
+    # per-sample computation is independent across the batch; only matmul
+    # tiling differs between the partitions → tight tolerance
+    np.testing.assert_allclose(adv_sharded, adv_single, atol=2e-5, rtol=1e-5)
+    # and the attack must actually perturb within the ball
+    d = np.abs(adv_sharded - x).max()
+    assert 0 < d <= 8 / 255 + 1e-6
+
+
+def test_dp_sharded_autoattack_matches_single_device():
+    """Reduced AutoAttack standard cascade over a (data=8) mesh == the
+    single-device cascade: same robust flags and same adversarial batch.
+    Exercises the masked-worklist host orchestration under SPMD sharding."""
+    from robustart_tpu.attacks.autoattack import AutoAttack
+    from robustart_tpu.models import create_classifier
+
+    mesh = get_mesh(("data",))
+    clf = create_classifier("deit_tiny_b16_224", rng=0, input_size=32,
+                            num_classes=8)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (16, 32, 32, 3)).astype(np.float32)
+    y = (np.arange(16) % 8).astype(np.int32)
+
+    kw = dict(norm="Linf", eps=8 / 255, version="standard", seed=3,
+              n_iter=4, n_target_classes=2, square_n_queries=8)
+    adv_single = AutoAttack(clf, **kw).run_standard_evaluation(x, y, bs=8)
+    adv_sharded = AutoAttack(clf, mesh=mesh, **kw).run_standard_evaluation(
+        x, y, bs=8
+    )
+
+    np.testing.assert_allclose(adv_sharded, adv_single, atol=3e-5, rtol=1e-5)
+    # the accept/audit bookkeeping must agree sample-for-sample
+    pred_s = np.asarray(jnp.argmax(clf(jnp.asarray(adv_sharded)), 1))
+    pred_1 = np.asarray(jnp.argmax(clf(jnp.asarray(adv_single)), 1))
+    np.testing.assert_array_equal(pred_s == y, pred_1 == y)
