@@ -40,8 +40,14 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG byte buffer to RGB8. Returns empty vector on failure.
+// min_w/min_h > 0 enable DCT-domain scaled decode (libjpeg scale_num/8,
+// the DALI/turbojpeg fast path): the LARGEST downscale whose output still
+// covers (min_w, min_h) is decoded directly from the coefficients —
+// quadratically less IDCT + colorspace work, and the following bilinear
+// resize reads far fewer pixels. Not bit-identical to full decode+resize
+// (it is a different, slightly sharper low-pass); gate via Loader.dct_scale.
 std::vector<uint8_t> decode_jpeg(const uint8_t* data, size_t size, int* w,
-                                 int* h) {
+                                 int* h, int min_w = 0, int min_h = 0) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -55,6 +61,21 @@ std::vector<uint8_t> decode_jpeg(const uint8_t* data, size_t size, int* w,
   jpeg_mem_src(&cinfo, data, size);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (min_w > 0 && min_h > 0) {
+    unsigned m = 8;
+    while (m > 1) {
+      const long sw = (static_cast<long>(cinfo.image_width) * (m - 1) + 7) / 8;
+      const long sh =
+          (static_cast<long>(cinfo.image_height) * (m - 1) + 7) / 8;
+      if (sw >= min_w && sh >= min_h) {
+        --m;
+      } else {
+        break;
+      }
+    }
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
@@ -120,6 +141,7 @@ struct Loader {
   std::vector<int32_t> labels;
   int out_h, out_w, batch_size, test_resize;
   int mode;  // 0 = plain resize, 1 = resize-shorter + center crop (ONECROP)
+  int dct_scale = 0;  // 1 = DCT-domain scaled decode (see decode_jpeg)
   size_t queue_cap;
 
   std::vector<std::thread> workers;
@@ -153,9 +175,12 @@ struct Loader {
     }
     out->assign(static_cast<size_t>(out_h) * out_w * 3, 0);
     int w = 0, h = 0;
+    const int min_w = dct_scale ? (mode == 1 ? test_resize : out_w) : 0;
+    const int min_h = dct_scale ? (mode == 1 ? test_resize : out_h) : 0;
     std::vector<uint8_t> rgb =
-        bytes.empty() ? std::vector<uint8_t>()
-                      : decode_jpeg(bytes.data(), bytes.size(), &w, &h);
+        bytes.empty()
+            ? std::vector<uint8_t>()
+            : decode_jpeg(bytes.data(), bytes.size(), &w, &h, min_w, min_h);
     if (rgb.empty()) return;  // unreadable -> black image
     if (mode == 1) {
       // resize shorter side to test_resize, center crop out_h x out_w
@@ -250,7 +275,7 @@ extern "C" {
 
 void* rl_create(const char** paths, const int32_t* labels, int64_t n,
                 int out_h, int out_w, int batch_size, int test_resize,
-                int mode, int num_threads, int queue_cap) {
+                int mode, int num_threads, int queue_cap, int dct_scale) {
   auto* loader = new Loader();
   loader->paths.reserve(n);
   for (int64_t i = 0; i < n; ++i) loader->paths.emplace_back(paths[i]);
@@ -261,6 +286,7 @@ void* rl_create(const char** paths, const int32_t* labels, int64_t n,
   loader->test_resize = test_resize;
   loader->mode = mode;
   loader->queue_cap = queue_cap > 0 ? queue_cap : 4;
+  loader->dct_scale = dct_scale;
   loader->n_total = static_cast<size_t>(n);
   for (int t = 0; t < num_threads; ++t) {
     loader->workers.emplace_back([loader] { loader->worker_loop(); });

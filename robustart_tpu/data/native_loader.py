@@ -46,7 +46,7 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.rl_next_batch.restype = ctypes.c_int
     lib.rl_next_batch.argtypes = [
@@ -88,7 +88,12 @@ class NativeDataLoader:
         mode: str = "onecrop",
         num_threads: int = 8,
         queue_cap: int = 4,
+        dct_scale: bool = False,
     ):
+        # dct_scale: libjpeg DCT-domain scaled decode (the DALI-style fast
+        # path) — decodes at the largest M/8 downscale that still covers the
+        # resize target; ~2x less IDCT + resize work per image, output within
+        # a few grey levels of the exact decode (tests/test_native_loader.py)
         self.paths = [paths[i] for i in indices]
         self.labels = np.asarray(labels)[indices].astype(np.int32)
         self.indices = np.asarray(indices, np.int32)
@@ -98,6 +103,7 @@ class NativeDataLoader:
         self.mode = {"plain": 0, "onecrop": 1}[mode]
         self.num_threads = num_threads
         self.queue_cap = queue_cap
+        self.dct_scale = 1 if dct_scale else 0
 
     def __len__(self) -> int:
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
@@ -112,7 +118,7 @@ class NativeDataLoader:
         handle = lib.rl_create(
             c_paths, c_labels, n, self.input_size, self.input_size,
             self.batch_size, self.test_resize, self.mode, self.num_threads,
-            self.queue_cap,
+            self.queue_cap, self.dct_scale,
         )
         img = np.empty(
             (self.batch_size, self.input_size, self.input_size, 3), np.uint8

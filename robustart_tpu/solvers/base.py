@@ -621,6 +621,7 @@ class Solver:
         if isinstance(module, VisionTransformer):
             from robustart_tpu.models.quantize_vit import quantize_vit
 
+            self._refuse_int8_fused_family("VisionTransformer")
             return quantize_vit(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
@@ -693,6 +694,7 @@ class Solver:
         if isinstance(module, MlpMixer):
             from robustart_tpu.models.quantize_mixer import quantize_mixer
 
+            self._refuse_int8_fused_family("MlpMixer")
             return quantize_mixer(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
@@ -711,6 +713,7 @@ class Solver:
         if isinstance(module, SwinTransformer):
             from robustart_tpu.models.quantize_swin import quantize_swin
 
+            self._refuse_int8_fused_family("SwinTransformer")
             return quantize_swin(
                 self.classifier, calib_images_u8, calib_batch_size=bs
             )
@@ -738,6 +741,38 @@ class Solver:
                              "SE/hardswish epilogues; expect a similar "
                              ">=512 crossover (not yet chip-measured)"),
     }
+
+    # fused-bf16-kernel families where int8 CANNOT win on this chip: the
+    # whole-block Pallas kernels already hold the residual stream in VMEM,
+    # and the chip's int8 MXU advantage on ViT-shaped dot_generals is only
+    # ~1.2x bf16 (vs 1.76x for convs) — less than the requant epilogues an
+    # int8 block must add between matmuls. Measured: int8 vit_b16 1,950 vs
+    # fused bf16 3,371 img/s; swin 1,081 vs 1,639; mixer 3,699 vs 4,446
+    # (benchmarks/RESULTS.md; scripts/probe_int8_matmul.py for the
+    # dot_general rates). maybe_quantize therefore REFUSES these families
+    # unless model.quantize_force: true (the 4x-smaller weights can still
+    # be worth it for memory-bound serving).
+    _INT8_FUSED_REFUSALS = ("VisionTransformer", "SwinTransformer",
+                            "MlpMixer")
+
+    def _refuse_int8_fused_family(self, family: str) -> None:
+        if bool(self.cfg.get_path("model.quantize_force")):
+            logger.warning(
+                "int8 %s forced (model.quantize_force): measured SLOWER "
+                "than the fused bf16 path on this chip "
+                "(benchmarks/RESULTS.md)", family,
+            )
+            return
+        raise ValueError(
+            f"model.quantize: int8 refused for {family}: the fused bf16 "
+            "block-kernel path is measured FASTER on this chip (vit_b16 "
+            "3,371 bf16 vs 1,950 int8 img/s; swin 1,639 vs 1,081; mixer "
+            "4,446 vs 3,699 — benchmarks/RESULTS.md), and the int8 MXU "
+            "rate on transformer-shaped dot_generals (~1.2x bf16) cannot "
+            "repay the requant epilogues a fused int8 block would add. "
+            "Set model.quantize_force: true to accept the slowdown for "
+            "the 4x smaller weights."
+        )
 
     def _warn_int8_pessimization(self, family: str) -> None:
         crossover, why = self._INT8_MEASURED_PESSIMIZATIONS[family]

@@ -1,6 +1,7 @@
 """Native C++ loader tests: builds the .so, decodes real JPEGs, checks
 correctness vs the Python (PIL) path."""
 
+import os.path as osp
 import numpy as np
 import pytest
 from PIL import Image
@@ -89,3 +90,41 @@ def test_native_loader_shard(jpeg_set):
         for b in loader:
             seen += b.index[b.mask].tolist()
     assert sorted(seen) == list(range(10))
+
+
+def test_dct_scaled_decode_close(jpeg_set):
+    """dct_scale=True (DCT-domain scaled decode, the DALI-style fast path)
+    stays within a few grey levels of the exact decode on photo-like
+    content (smooth image; random noise is out of scope for resampling
+    equivalence)."""
+    import numpy as _np
+    from PIL import Image as _Image
+
+    d = osp.dirname(jpeg_set[0][0]) if False else None
+    del d
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="dctjpg_")
+    yy, xx = _np.mgrid[0:480, 0:640]
+    smooth = _np.stack([
+        127 + 90 * _np.sin(xx / 53.0) * _np.cos(yy / 31.0),
+        127 + 80 * _np.cos(xx / 91.0 + 1.0),
+        127 + 70 * _np.sin((xx + yy) / 71.0),
+    ], axis=-1)
+    p = osp.join(tmp, "smooth.jpg")
+    _Image.fromarray(_np.clip(smooth, 0, 255).astype(_np.uint8)).save(
+        p, quality=92
+    )
+
+    def run(dct):
+        loader = NativeDataLoader(
+            [p], _np.zeros(1, _np.int32), _np.array([0]), batch_size=1,
+            input_size=224, test_resize=256, mode="onecrop", num_threads=1,
+            dct_scale=dct,
+        )
+        return next(iter(loader)).image[0]
+
+    exact, fast = run(False), run(True)
+    diff = _np.abs(exact.astype(int) - fast.astype(int))
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff <= 12).mean() > 0.995

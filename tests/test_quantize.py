@@ -155,3 +155,50 @@ def test_online_imagenet_c_int8_via_config(tmp_path):
     }
     res = tmp_path / "c" / "gaussian_noise" / "1" / "results.txt.all"
     assert sum(1 for _ in open(res)) == 16
+
+
+def test_int8_refused_for_fused_transformer_families(tmp_path):
+    """maybe_quantize REFUSES int8 for ViT/Swin/Mixer (the fused bf16 block
+    kernels are measured faster on chip — VERDICT r4 task 6) unless
+    model.quantize_force is set."""
+    import pytest
+    import yaml
+
+    def make_cfg(force):
+        cfg = {
+            "model": {"type": "deit_tiny_b16_224",
+                      "kwargs": {"num_classes": 10, "input_size": 64},
+                      "quantize": "int8", "quantize_calib_batches": 1},
+            "data": {"type": "imagenet", "read_from": "fake",
+                     "fake_size": 8, "fake_num_classes": 10,
+                     "batch_size": 8, "input_size": 64, "num_workers": 0,
+                     "test": {"evaluator": {"type": "imagenet",
+                                            "kwargs": {"topk": [1, 5]}}}},
+            "saver": {"save_dir": str(tmp_path / "ck"),
+                      "results_path": str(tmp_path / "results.txt.all"),
+                      "val_freq": 1000},
+            "lr_scheduler": {"type": "CosineEpoch",
+                             "kwargs": {"max_epoch": 1}},
+            "optimizer": {"type": "SGD", "kwargs": {}},
+        }
+        if force:
+            cfg["model"]["quantize_force"] = True
+        p = str(tmp_path / f"cfg_{force}.yaml")
+        with open(p, "w") as f:
+            yaml.safe_dump(cfg, f)
+        return p
+
+    from robustart_tpu.core.config import load_config
+    from robustart_tpu.data import build_dataloader
+    from robustart_tpu.solvers.cls_solver import ClsSolver
+
+    solver = ClsSolver(load_config(make_cfg(False)))
+    solver.build_model(seed=0)
+    loader = build_dataloader(solver.cfg.data, "test", 0, 1, seed=0)
+    with pytest.raises(ValueError, match="refused"):
+        solver.maybe_quantize(loader)
+
+    solver = ClsSolver(load_config(make_cfg(True)))
+    solver.build_model(seed=0)
+    loader = build_dataloader(solver.cfg.data, "test", 0, 1, seed=0)
+    assert solver.maybe_quantize(loader)
