@@ -32,12 +32,14 @@ def _fused_eval_fn(module):
     """
     from robustart_tpu.models.densenet import DenseNet
 
-    if isinstance(module, DenseNet) and module.block_impl in ("auto", "slab"):
-        # Concat-free slab forward (round 5): exact reassociation of the
-        # module graph that never materializes the growing concatenation —
-        # the chip-measured cost of DenseNet under XLA (WORKLOG r3: block-2
-        # concat writes 14.4 ms vs a 5.0 ms read floor). Pure XLA, no
-        # Pallas. Parity: tests/test_models.py::test_densenet_slab_parity.
+    if isinstance(module, DenseNet) and module.block_impl == "slab":
+        # Concat-free slab forward — kept as the design record of the
+        # round-5 structural study, NOT the default: on chip the per-slab
+        # dots' partial-sum outputs cost more than the concat writes they
+        # save (block-2 probe, scripts/probe_densenet_block.py: concat
+        # 9.63 ms, bundle 12.11, slab 17.93, fori_pad 21.46; end-to-end
+        # slab 5,564 img/s vs 6,329 buffer). Opt in via block_impl='slab'.
+        # Parity: tests/test_models.py::test_densenet_slab_parity.
         from robustart_tpu.models.densenet import slab_eval_forward
 
         return slab_eval_forward

@@ -68,13 +68,14 @@ class DenseNet(nn.Module):
     # 'buffer': preallocate each dense block's final channel extent once and
     # dynamic-update-slice each layer's growth_rate channels in place —
     # avoids rewriting the O(layers²·growth) concatenation chain through HBM.
-    # 'auto' (measured, batch 256 bf16 on chip — WORKLOG r3): the DUS write
-    # path degrades on large spatial maps (28² block: buffer 17.7 ms vs
-    # concat 14.8 in-model) while 'buffer' wins at 14²/7² — 'auto' mixes
-    # them. Default stays 'buffer' (chip-validated end to end). The
-    # whole-block VMEM kernel that was meant to replace both is buried
-    # (see block_impl above) — 'buffer' is the production path.
-    concat_impl: str = "buffer"
+    # 'auto' (measured, batch 256 bf16 on chip — WORKLOG r3 + r5 sweep):
+    # the DUS write path degrades on large spatial maps while 'concat'
+    # degrades on small ones; 'auto' mixes them and is the measured best
+    # end to end (r5, scripts/probe_densenet_model.py: auto 6,754 img/s vs
+    # buffer 6,342, concat 6,124). The concat-FREE formulations (slab /
+    # bundle / fori_pad; r5 block-2 probe) and the whole-block VMEM kernel
+    # (buried, see block_impl) all measured slower — see WORKLOG r5.
+    concat_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -233,6 +233,14 @@ def gaussian_blur_c(x, key, severity=1):
     return jnp.clip(gaussian_blur(x, float(c)), 0.0, 1.0)
 
 
+def _glass_pallas_ok(h: int) -> bool:
+    """Gate glass_shuffle_pallas to real TPU backends and evenly-tiled
+    heights (same policy as ops.image._pallas_warp_ok)."""
+    from robustart_tpu.ops.image import _pallas_warp_ok
+
+    return _pallas_warp_ok(h)
+
+
 def glass_blur(x, key, severity=1):
     # (sigma, max_delta, iterations); gather approximation of the swap loop
     sigma, d, iters = [
@@ -252,16 +260,26 @@ def glass_blur(x, key, severity=1):
     # the gather form never binds inside ``interior``), but it's pure
     # VPU roll/select work — the gather ran at 429 img/s on chip, ~35×
     # under the clean forward.
+    use_pallas = _glass_pallas_ok(h)
     for i in range(iters):
         key, sub = jax.random.split(key)
         off = jax.random.randint(sub, (h, w, 2), -d, d)
         code = (off[..., 0] + d) * (2 * d) + (off[..., 1] + d)
-        acc = jnp.zeros_like(x)
-        for a in range(-d, d):
-            for b in range(-d, d):
-                t = (a + d) * (2 * d) + (b + d)
-                m = (code == t)[..., None]
-                acc = acc + jnp.where(m, jnp.roll(x, (-a, -b), (0, 1)), 0.0)
+        if use_pallas:
+            # VMEM shuffle-select kernel: one image read/write per
+            # iteration instead of (2d)² rolled HBM streams; bitwise-equal
+            # on the interior (ops/pallas_motion.glass_shuffle_pallas)
+            from robustart_tpu.ops.pallas_motion import glass_shuffle_pallas
+
+            acc = glass_shuffle_pallas(x, code, d)
+        else:
+            acc = jnp.zeros_like(x)
+            for a in range(-d, d):
+                for b in range(-d, d):
+                    t = (a + d) * (2 * d) + (b + d)
+                    m = (code == t)[..., None]
+                    acc = acc + jnp.where(m, jnp.roll(x, (-a, -b), (0, 1)),
+                                          0.0)
         x = jnp.where(interior, acc, x)
     return jnp.clip(gaussian_blur(x, float(sigma)), 0.0, 1.0)
 

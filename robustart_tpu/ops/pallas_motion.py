@@ -39,35 +39,49 @@ from jax.experimental.pallas import tpu as pltpu
 
 from robustart_tpu.ops.image import motion_blur_offsets
 
-TILE_H = 8
+TILE_H = 8  # minimum row tile; _pick_tile_h prefers larger divisors
 
 
 def _align(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _pick_tile_h(h: int) -> int:
+    """Largest row tile that divides H (multiple of 8, ≤64).
+
+    Every tap rolls the whole (tile_h + 2·py)-row halo window to produce
+    tile_h output rows, so bigger tiles amortize the halo: at py=15 the
+    roll work per output row drops 3.4× going 8→56 (40/8 → 88/56 rows)."""
+    for t in (64, 56, 48, 40, 32, 24, 16, 8):
+        if h % t == 0:
+            return t
+    return 8
+
+
 def _mb_kernel(dy_ref, dx_ref, wt_ref, pad_ref, o_ref, *, py: int, px: int,
-               w: int, c: int, n_taps: int):
+               w3: int, c: int, n_taps: int, tile_h: int):
     t = pl.program_id(0)
-    hw = _align(TILE_H + 2 * py, 8)
-    wp = pad_ref.shape[2]  # lane-aligned by the caller
-    # rows [t·TILE_H, t·TILE_H + hw) of the padded image cover every
-    # (py + dy) tap row of output rows [t·TILE_H, (t+1)·TILE_H); the start
-    # is t·TILE_H — statically provable sublane alignment
-    window = pad_ref[:, pl.ds(t * TILE_H, hw), :]  # (C, hw, Wp)
+    hw = _align(tile_h + 2 * py, 8)
+    wp3 = pad_ref.shape[1]  # lane-aligned by the caller
+    # rows [t·tile_h, t·tile_h + hw) of the padded image cover every
+    # (py + dy) tap row of output rows [t·tile_h, (t+1)·tile_h); the start
+    # is t·tile_h (tile_h a multiple of 8) — statically provable alignment
+    window = pad_ref[pl.ds(t * tile_h, hw), :]  # (hw, Wp·C)
 
     def body(ti, acc):
         dyt = dy_ref[0, ti]
         dxt = dx_ref[0, ti]
         wv = wt_ref[0, ti]
         # bring window row (py + dyt) to row 0 (jnp.roll semantics:
-        # element k lands at k + shift mod n)
-        ru = pltpu.roll(window, hw - (py + dyt), axis=1)[:, :TILE_H]
-        rv = pltpu.roll(ru, wp - (px + dxt), axis=2)
-        return acc + wv * rv[:, :, :w]
+        # element k lands at k + shift mod n); the channel-interleaved
+        # layout makes a dx-pixel shift a c·dx LANE shift — no transpose
+        # ever touches the image (the (H,W,C)→(H,W·C) reshape is free)
+        ru = pltpu.roll(window, hw - (py + dyt), axis=0)[:tile_h]
+        rv = pltpu.roll(ru, wp3 - c * (px + dxt), axis=1)
+        return acc + wv * rv[:, :w3]
 
     acc = jax.lax.fori_loop(
-        0, n_taps, body, jnp.zeros((c, TILE_H, w), jnp.float32)
+        0, n_taps, body, jnp.zeros((tile_h, w3), jnp.float32)
     )
     o_ref[...] = acc
 
@@ -83,31 +97,38 @@ def motion_taps_pallas(img: jax.Array, dy: jax.Array, dx: jax.Array,
     py, px = int(py), int(px)
     if h % TILE_H:
         raise ValueError(f"H={h} not a multiple of {TILE_H}")
+    tile_h = _pick_tile_h(h)
     (n_taps,) = dy.shape
     pad = jnp.pad(img, ((py, py), (px, px), (0, 0)), mode="edge")
-    pad = jnp.transpose(pad, (2, 0, 1)).astype(jnp.float32)  # (C, Hp, Wp)
-    hw = _align(TILE_H + 2 * py, 8)
-    hp_need = (h - TILE_H) + hw
-    wp_need = _align(pad.shape[2], 128)
-    pad = jnp.pad(pad, ((0, 0), (0, max(0, hp_need - pad.shape[1])),
-                        (0, wp_need - pad.shape[2])))
+    # channel-interleaved 2D view: (Hp, Wp·C). The merge of the two minor
+    # dims is layout-free, unlike the previous (C, H, W) transpose whose
+    # relayout dominated the kernel's cost in the int8 pipeline.
+    pad = pad.reshape(pad.shape[0], pad.shape[1] * c).astype(jnp.float32)
+    hw = _align(tile_h + 2 * py, 8)
+    hp_need = (h - tile_h) + hw
+    wp_need = _align(pad.shape[1], 128)
+    # max lane index read back: (w·c - 1) + c·2px = real padded width - 1,
+    # so the zero fill to the lane multiple is never sampled
+    pad = jnp.pad(pad, ((0, max(0, hp_need - pad.shape[0])),
+                        (0, wp_need - pad.shape[1])))
     out = pl.pallas_call(
-        functools.partial(_mb_kernel, py=py, px=px, w=w, c=c, n_taps=n_taps),
-        grid=(h // TILE_H,),
+        functools.partial(_mb_kernel, py=py, px=px, w3=w * c, c=c,
+                          n_taps=n_taps, tile_h=tile_h),
+        grid=(h // tile_h,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             # whole padded image; constant index map — DMA'd once,
             # revisited across row tiles
-            pl.BlockSpec(pad.shape, lambda t: (0, 0, 0)),
+            pl.BlockSpec(pad.shape, lambda t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((c, TILE_H, w), lambda t: (0, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        out_specs=pl.BlockSpec((tile_h, w * c), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, w * c), jnp.float32),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(dy.astype(jnp.int32).reshape(1, -1), dx.astype(jnp.int32).reshape(1, -1),
       wt.astype(jnp.float32).reshape(1, -1), pad)
-    return jnp.transpose(out, (1, 2, 0)).astype(img.dtype)
+    return out.reshape(h, w, c).astype(img.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -145,3 +166,65 @@ def motion_blur_bank_pallas(x: jax.Array, idx: jax.Array, radius: float,
     wt = jnp.sum(jnp.asarray(WT) * onehot[:, None].astype(jnp.float32),
                  axis=0)
     return motion_taps_pallas(x, dy, dx, wt, py, px, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# glass_blur shuffle-select (same interleaved-layout tap pattern)
+# ---------------------------------------------------------------------------
+
+
+def _glass_kernel(pad_ref, code_ref, o_ref, *, d: int, w3: int, c: int,
+                  tile_h: int):
+    t = pl.program_id(0)
+    hw = _align(tile_h + 2 * d, 8)
+    wp3 = pad_ref.shape[1]
+    window = pad_ref[pl.ds(t * tile_h, hw), :]  # (hw, Wp·C)
+    code = code_ref[...]  # (tile_h, W·C) int32, channel-replicated
+    acc = jnp.zeros((tile_h, w3), jnp.float32)
+    for a in range(-d, d):
+        ru = pltpu.roll(window, hw - (d + a), axis=0)[:tile_h]
+        for b in range(-d, d):
+            tt = (a + d) * (2 * d) + (b + d)
+            rv = pltpu.roll(ru, wp3 - c * (d + b), axis=1)[:, :w3]
+            acc = acc + jnp.where(code == tt, rv, 0.0)
+    o_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("d", "interpret"))
+def glass_shuffle_pallas(img: jax.Array, code: jax.Array, d: int,
+                         interpret: bool = False) -> jax.Array:
+    """One glass_blur swap iteration for a (H, W, C) f32 image: per pixel,
+    pick the neighbor at the per-pixel offset pair encoded in ``code``
+    (``(a+d)·2d + (b+d)``, a/b ∈ [-d, d) — the jax_kernels.glass_blur
+    shifted-select form, reference corruptions.py:169-185). Bitwise-equal
+    to the XLA roll/select loop on interior pixels (disjoint exhaustive
+    masks select single values; non-interior is overwritten by the caller).
+
+    The XLA form streams (2d)² rolled copies of the image through HBM per
+    iteration (measured 3,333 img/s at severity 3 in the int8 pipeline);
+    here the image sits in VMEM once, rolls are register shuffles, and HBM
+    traffic is one image read + one code read + one write."""
+    h, w, c = img.shape
+    if h % TILE_H:
+        raise ValueError(f"H={h} not a multiple of {TILE_H}")
+    tile_h = _pick_tile_h(h)
+    pad = jnp.pad(img, ((d, d), (d, d), (0, 0)), mode="edge")
+    pad = pad.reshape(pad.shape[0], pad.shape[1] * c).astype(jnp.float32)
+    hw = _align(tile_h + 2 * d, 8)
+    hp_need = (h - tile_h) + hw
+    wp_need = _align(pad.shape[1], 128)
+    pad = jnp.pad(pad, ((0, max(0, hp_need - pad.shape[0])),
+                        (0, wp_need - pad.shape[1])))
+    code3 = jnp.repeat(code, c, axis=-1)  # (H, W·C)
+    out = pl.pallas_call(
+        functools.partial(_glass_kernel, d=d, w3=w * c, c=c, tile_h=tile_h),
+        grid=(h // tile_h,),
+        in_specs=[
+            pl.BlockSpec(pad.shape, lambda t: (0, 0)),
+            pl.BlockSpec((tile_h, w * c), lambda t: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_h, w * c), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, w * c), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(pad, code3.astype(jnp.int32))
+    return out.reshape(h, w, c).astype(img.dtype)

@@ -79,3 +79,32 @@ def test_all_severity_shapes_compile_in_interpreter():
         want = motion_blur(x, float(radius), float(sigma), BANK[7])
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-7)
+
+
+def test_glass_shuffle_matches_xla_selects():
+    """glass_shuffle_pallas (interpret mode) == the XLA roll/select loop on
+    interior pixels, for every severity's (d) and a non-square image."""
+    from robustart_tpu.ops.pallas_motion import glass_shuffle_pallas
+
+    rng = np.random.default_rng(3)
+    for d, (h, w) in [(1, (32, 48)), (2, (32, 48)), (3, (40, 32)),
+                      (4, (32, 32))]:
+        x = jnp.asarray(rng.uniform(0, 1, (h, w, 3)), jnp.float32)
+        code = jnp.asarray(
+            rng.integers(0, (2 * d) * (2 * d), (h, w)), jnp.int32
+        )
+        acc = jnp.zeros_like(x)
+        for a in range(-d, d):
+            for b in range(-d, d):
+                t = (a + d) * (2 * d) + (b + d)
+                m = (code == t)[..., None]
+                acc = acc + jnp.where(m, jnp.roll(x, (-a, -b), (0, 1)), 0.0)
+        got = glass_shuffle_pallas(x, code, d, interpret=True)
+        rows = np.arange(h)[:, None]
+        cols = np.arange(w)[None, :]
+        interior = ((rows > d) & (rows < h - d) & (cols > d)
+                    & (cols < w - d))[..., None]
+        np.testing.assert_array_equal(
+            np.asarray(got)[np.broadcast_to(interior, got.shape)],
+            np.asarray(acc)[np.broadcast_to(interior, acc.shape)],
+        )
