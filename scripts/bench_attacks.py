@@ -33,6 +33,16 @@ ATTACKS = {  # name -> (fn-name, steps per invocation, kwargs)
     "fgsm": ("fgsm", 1, {}),
     "pgd_linf_20": ("pgd_linf", 20, {}),
     "mim_linf_20": ("mim_linf", 20, {}),
+    # reference adversarial-benchmark grid: pgd_l2 @ {0.5,2,8} and
+    # pgd_l1 @ {100,400,1600} (reference exprs/nips_benchmark/
+    # batch_eval_adv/eval.sh:9-13); l1 eps_step scales with eps like the
+    # reference default ratio 120/1600 (add_noise_utils.py:9-18)
+    "pgd_l2_20_eps0.5": ("pgd_l2", 20, {"eps": 0.5}),
+    "pgd_l2_20_eps2": ("pgd_l2", 20, {"eps": 2.0}),
+    "pgd_l2_20_eps8": ("pgd_l2", 20, {"eps": 8.0}),
+    "pgd_l1_20_eps100": ("pgd_l1", 20, {"eps": 100.0, "eps_step": 7.5}),
+    "pgd_l1_20_eps400": ("pgd_l1", 20, {"eps": 400.0, "eps_step": 30.0}),
+    "pgd_l1_20_eps1600": ("pgd_l1", 20, {"eps": 1600.0, "eps_step": 120.0}),
 }
 
 
@@ -84,7 +94,7 @@ def bench(model_name: str) -> list[dict]:
 
 
 def autoattack_wallclock(model_name: str = "resnet50_official",
-                         bs: int = 250) -> dict:
+                         bs: int = 250, version: str = "standard") -> dict:
     """One standard-cascade AutoAttack wall-clock at the reference's eval
     batch size (reference autoattack run_standard_evaluation bs=250) —
     full budget: apgd-ce / apgd-t / fab-t / square, n_iter=100, 5000
@@ -99,13 +109,13 @@ def autoattack_wallclock(model_name: str = "resnet50_official",
     x0 = jnp.asarray(rng.uniform(0, 1, (bs, 224, 224, 3)), jnp.float32)
     logits0 = np.asarray(clf.apply_fn(clf.variables, x0, train=False))
     y = jnp.asarray(np.argmax(logits0, -1))
-    aa = AutoAttack(clf, norm="Linf", eps=4 / 255, version="standard")
+    aa = AutoAttack(clf, norm="Linf", eps=4 / 255, version=version)
     t0 = time.perf_counter()
     adv = aa.run_standard_evaluation(x0, y, bs=bs)
     np.asarray(adv)  # force fetch (relay: completion observable at fetch)
     dt = time.perf_counter() - t0
     row = {
-        "model": model_name, "attack": "autoattack_standard_linf",
+        "model": model_name, "attack": f"autoattack_{version}_linf",
         "batch": bs, "wallclock_s": round(dt, 1),
         "img_per_sec": round(bs / dt, 2),
     }
@@ -113,21 +123,100 @@ def autoattack_wallclock(model_name: str = "resnet50_official",
     return row
 
 
-def main():
+def clip_pgd_row(batch: int = 32) -> dict:
+    """Robust-CLIP eval axis (reference FARE2/TeCoA2 configs, exprs/exp/
+    imagenet-a_o-loop): PGD-20 through clip_vit_l_14's fused-block tower."""
+    from robustart_tpu.attacks import gradient
+    from robustart_tpu.models import create_classifier
+
+    clf = create_classifier("clip_vit_l_14", rng=0, input_size=224,
+                            dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(0, 1, (batch, 224, 224, 3)), jnp.float32)
+    logits0 = np.asarray(clf.apply_fn(clf.variables, x0, train=False))
+    labels = jnp.asarray(np.argmax(logits0, -1))
+
+    @jax.jit
+    def mega(variables, x_init, iters):
+        def body(i, carry):
+            acc, x = carry
+            adv = gradient.pgd_linf(clf.apply_fn, variables, x, labels,
+                                    jax.random.key(0))
+            s = jnp.sum(adv)
+            return acc + s, jnp.clip(x + (adv - x) * 1e-3, 0.0, 1.0)
+
+        return jax.lax.fori_loop(0, iters, body,
+                                 (jnp.float32(0.0), x_init))[0]
+
+    float(mega(clf.variables, x0, WARM))
+    t0 = time.perf_counter()
+    float(mega(clf.variables, x0, ITERS))
+    dt = time.perf_counter() - t0
+    img_s = batch * ITERS / dt
+    row = {"model": "clip_vit_l_14", "attack": "pgd_linf_20",
+           "batch": batch, "img_per_sec": round(img_s, 1),
+           "img_steps_per_sec": round(img_s * 20, 1)}
+    print(json.dumps(row))
+    return row
+
+
+def main(argv=None):
+    import argparse
     import os
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma list: grid, aa_standard, aa_rand, clip; "
+                         "empty = all. Partial runs merge into attacks.json")
+    ap.add_argument("--models", default="resnet50_official,vit_b16_224")
+    ap.add_argument("--attacks", default=",".join(ATTACKS),
+                    help="grid attack subset")
+    args = ap.parse_args(argv)
+    only = set(args.only.split(",")) if args.only else {
+        "grid", "aa_standard", "aa_rand", "clip"}
+
+    global ATTACKS
+    sel = {k: v for k, v in ATTACKS.items()
+           if k in set(args.attacks.split(","))}
     all_rows = []
-    for m in ("resnet50_official", "vit_b16_224"):
-        all_rows += bench(m)
-    try:
-        all_rows.append(autoattack_wallclock())
-    except Exception as e:
-        all_rows.append({"attack": "autoattack_standard_linf",
-                         "error": f"{type(e).__name__}: {e}"[:200]})
+    if "grid" in only:
+        saved = ATTACKS
+        ATTACKS = sel
+        try:
+            for m in args.models.split(","):
+                all_rows += bench(m)
+        finally:
+            ATTACKS = saved
+    for tag, version in (("aa_standard", "standard"), ("aa_rand", "rand")):
+        if tag in only:
+            try:
+                all_rows.append(autoattack_wallclock(version=version))
+            except Exception as e:
+                all_rows.append({"attack": f"autoattack_{version}_linf",
+                                 "error": f"{type(e).__name__}: {e}"[:200]})
+    if "clip" in only:
+        try:
+            all_rows.append(clip_pgd_row())
+        except Exception as e:
+            all_rows.append({"model": "clip_vit_l_14",
+                             "attack": "pgd_linf_20",
+                             "error": f"{type(e).__name__}: {e}"[:200]})
+
     os.makedirs(osp.join(REPO, "benchmarks"), exist_ok=True)
-    with open(osp.join(REPO, "benchmarks", "attacks.json"), "w") as f:
-        json.dump({"device": str(jax.devices()[0]), "rows": all_rows}, f,
-                  indent=1)
+    path = osp.join(REPO, "benchmarks", "attacks.json")
+    merged: dict[tuple, dict] = {}
+    if osp.exists(path):
+        try:
+            with open(path) as f:
+                for r in json.load(f).get("rows", []):
+                    merged[(r.get("model"), r.get("attack"))] = r
+        except (json.JSONDecodeError, KeyError):
+            pass
+    for r in all_rows:
+        merged[(r.get("model"), r.get("attack"))] = r
+    with open(path, "w") as f:
+        json.dump({"device": str(jax.devices()[0]),
+                   "rows": list(merged.values())}, f, indent=1)
 
 
 if __name__ == "__main__":
