@@ -443,23 +443,43 @@ def _sobel_edges(gray: jax.Array, low: float, high: float) -> jax.Array:
     return (strong | (weak & (neigh > 0))).astype(jnp.float32)
 
 
+_CHAMFER_OFFSETS = tuple(
+    (dy, dx, w)
+    for w, pairs in (
+        (1.0, ((0, 1), (0, -1), (1, 0), (-1, 0))),
+        (math.sqrt(2.0), ((1, 1), (1, -1), (-1, 1), (-1, -1))),
+        (math.sqrt(5.0), ((1, 2), (1, -2), (-1, 2), (-1, -2),
+                          (2, 1), (2, -1), (-2, 1), (-2, -1))),
+    )
+    for dy, dx in pairs
+)
+
+
 def _chamfer_distance(zero_mask: jax.Array, cap: float, iters: int) -> jax.Array:
     """Distance to the nearest True pixel of ``zero_mask``, chamfer 5x5
-    propagation (cv2.distanceTransform DIST_L2/maskSize=5 analog), capped."""
-    a, b, c = 1.0, math.sqrt(2.0), math.sqrt(5.0)
-    offsets = [
-        (0, 1, a), (0, -1, a), (1, 0, a), (-1, 0, a),
-        (1, 1, b), (1, -1, b), (-1, 1, b), (-1, -1, b),
-        (1, 2, c), (1, -2, c), (-1, 2, c), (-1, -2, c),
-        (2, 1, c), (2, -1, c), (-2, 1, c), (-2, -1, c),
-    ]
+    propagation (cv2.distanceTransform DIST_L2/maskSize=5 analog), capped.
+
+    Out-of-image neighbors are treated as cap-distance (cv2 never wraps);
+    an earlier revision used jnp.roll (wraparound) — non-wrap is both more
+    faithful and Pallas-friendly. The XLA form streams iters×16 shifted
+    copies through HBM (131.6 of spatter's 183.5 ms/batch-512 on chip,
+    scripts/probe_spatter_stages.py); on TPU the whole map propagates in
+    VMEM instead (ops/pallas_motion.chamfer_pallas, bitwise-equal)."""
+    h, w_dim = zero_mask.shape
     dist = jnp.where(zero_mask, 0.0, cap)
 
+    from robustart_tpu.ops.pallas_motion import chamfer_pallas
+    if _glass_pallas_ok(h):
+        return chamfer_pallas(dist, cap=cap, iters=iters)
+
     def body(_, dist):
+        p = jnp.pad(dist, 2, constant_values=cap)
         best = dist
-        for dy, dx, w in offsets:
-            shifted = jnp.roll(dist, (dy, dx), axis=(0, 1)) + w
-            best = jnp.minimum(best, shifted)
+        for dy, dx, w in _CHAMFER_OFFSETS:
+            shifted = jax.lax.slice(
+                p, (2 + dy, 2 + dx), (2 + dy + h, 2 + dx + w_dim)
+            )
+            best = jnp.minimum(best, shifted + w)
         return jnp.minimum(best, cap)
 
     return jax.lax.fori_loop(0, iters, body, dist)
@@ -477,15 +497,22 @@ def _equalize_hist(u8: jax.Array) -> jax.Array:
     """
     flat = u8.reshape(-1).astype(jnp.float32)
     bins = jnp.arange(256, dtype=jnp.float32)
-    onehot = (flat[:, None] == bins[None, :])
-    hist = jnp.sum(onehot, axis=0, dtype=jnp.float32)
+    hist = jnp.sum(flat[:, None] == bins[None, :], axis=0,
+                   dtype=jnp.float32)
     cdf = jnp.cumsum(hist)
     cdf_min = cdf[jnp.argmax(hist > 0)]
     total = flat.shape[0]
     lut = jnp.round((cdf - cdf_min) / jnp.maximum(total - cdf_min, 1.0) * 255.0)
     lut = jnp.clip(lut, 0, 255)
-    out = onehot.astype(jnp.bfloat16) @ lut.astype(jnp.bfloat16)
-    return out.astype(jnp.float32).reshape(u8.shape)
+    # LUT apply as a fused where-sum, NOT a (N, 256) @ (256,) matmul: the
+    # matmul form materialized the one-hot through HBM (~27 ms of spatter's
+    # 183 ms/batch-512, scripts/probe_spatter_stages.py); the where-sum
+    # fuses compare→select→reduce into one pass. Exact: one nonzero per
+    # row, f32 lut values are integers ≤ 255.
+    out = jnp.sum(
+        jnp.where(flat[:, None] == bins[None, :], lut[None, :], 0.0), axis=1
+    )
+    return out.reshape(u8.shape)
 
 
 def spatter(x, key, severity=1):

@@ -228,3 +228,60 @@ def glass_shuffle_pallas(img: jax.Array, code: jax.Array, d: int,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(pad, code3.astype(jnp.int32))
     return out.reshape(h, w, c).astype(img.dtype)
+
+
+# ---------------------------------------------------------------------------
+# chamfer distance propagation (spatter's water mask, cv2.distanceTransform
+# DIST_L2/maskSize=5 analog — jax_kernels._chamfer_distance)
+# ---------------------------------------------------------------------------
+
+
+def _chamfer_kernel(d_ref, o_ref, *, h: int, w: int, cap: float, iters: int,
+                    offsets: tuple):
+    wp = d_ref.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, wp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, wp), 1)
+
+    def body(_, dist):
+        best = dist
+        for dy, dx, wt in offsets:
+            # shifted[i, j] = dist[i+dy, j+dx]; positions whose source is
+            # outside the real (h, w) map — including everything the roll
+            # wraps in from the cap-filled lane padding — are masked to cap
+            sh = pltpu.roll(dist, (-dy) % h, axis=0)
+            sh = pltpu.roll(sh, (-dx) % wp, axis=1)
+            valid = ((row + dy >= 0) & (row + dy < h)
+                     & (col + dx >= 0) & (col + dx < w))
+            best = jnp.minimum(best, jnp.where(valid, sh + wt, cap))
+        return jnp.minimum(best, cap)
+
+    o_ref[...] = jax.lax.fori_loop(0, iters, body, d_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "iters", "interpret"))
+def chamfer_pallas(dist0: jax.Array, cap: float, iters: int,
+                   interpret: bool = False) -> jax.Array:
+    """``iters`` rounds of capped chamfer min-propagation over one (H, W)
+    f32 map, entirely in VMEM (the XLA form streams iters×16 shifted HBM
+    copies). Bitwise-equal to jax_kernels._chamfer_distance's non-wrap
+    slice form: min is exact, the tap adds see identical f32 values, and
+    out-of-image sources (h % 8 == 0 required; lane padding holds cap)
+    contribute exactly ``cap``. vmap adds a leading grid dimension."""
+    from robustart_tpu.noise.corruptions.jax_kernels import _CHAMFER_OFFSETS
+
+    h, w = dist0.shape
+    if h % TILE_H:
+        raise ValueError(f"H={h} not a multiple of {TILE_H}")
+    wp = _align(w, 128)
+    d = jnp.pad(dist0.astype(jnp.float32), ((0, 0), (0, wp - w)),
+                constant_values=cap)
+    out = pl.pallas_call(
+        functools.partial(_chamfer_kernel, h=h, w=w, cap=float(cap),
+                          iters=int(iters), offsets=_CHAMFER_OFFSETS),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((h, wp), lambda t: (0, 0))],
+        out_specs=pl.BlockSpec((h, wp), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, wp), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(d)
+    return out[:, :w].astype(dist0.dtype)

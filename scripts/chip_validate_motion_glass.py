@@ -82,7 +82,66 @@ def validate_glass():
     assert worst == 0.0, worst
 
 
+def validate_chamfer():
+    """chamfer_pallas on chip == the non-wrap slice oracle, bitwise."""
+    from robustart_tpu.noise.corruptions.jax_kernels import (
+        _CHAMFER_OFFSETS,
+    )
+    from robustart_tpu.ops.pallas_motion import chamfer_pallas
+
+    rng = np.random.default_rng(2)
+    mask = rng.uniform(size=(224, 224)) < 0.01
+    dist0 = jnp.where(jnp.asarray(mask), 0.0, 20.0).astype(jnp.float32)
+    got = np.asarray(chamfer_pallas(dist0, cap=20.0, iters=12))
+    dist = np.where(mask, 0.0, 20.0).astype(np.float32)
+    for _ in range(12):
+        p = np.pad(dist, 2, constant_values=20.0)
+        best = dist
+        for dy, dx, wt in _CHAMFER_OFFSETS:
+            best = np.minimum(
+                best, p[2 + dy: 2 + dy + 224, 2 + dx: 2 + dx + 224]
+                + np.float32(wt)
+            )
+        dist = np.minimum(best, np.float32(20.0))
+    err = float(np.abs(got - dist).max())
+    print(json.dumps({"chamfer_max_abs_err": err}))
+    assert err == 0.0, err
+
+
+def validate_blur_matmul():
+    """Banded-matmul gaussian_blur / SVD-matmul filter2d on chip vs the
+    tap-sum forms (f32 HIGHEST accumulation: ulp-class tolerance)."""
+    from robustart_tpu.ops.image import (
+        _sep_conv2d_nearest,
+        disk_kernel,
+        filter2d_same,
+        gaussian_blur,
+        gaussian_kernel_1d,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (224, 224, 3)), jnp.float32)
+    worst = 0.0
+    for sigma in (1.0, 2.0, 3.0):
+        got = np.asarray(gaussian_blur(x, sigma))
+        ref = np.asarray(_sep_conv2d_nearest(x, gaussian_kernel_1d(sigma)))
+        worst = max(worst, float(np.abs(got - ref).max()))
+    print(json.dumps({"gaussian_blur_matmul_max_abs_err": worst}))
+    assert worst < 5e-6, worst
+    k = disk_kernel(6, 0.5)
+    got = np.asarray(filter2d_same(x, k))
+    import cv2
+
+    ref = np.stack([cv2.filter2D(np.asarray(x)[..., c], -1, k)
+                    for c in range(3)], -1)
+    err = float(np.abs(got - ref).max())
+    print(json.dumps({"filter2d_svd_vs_cv2_max_abs_err": err}))
+    assert err < 1e-5, err
+
+
 if __name__ == "__main__":
     validate_motion()
     validate_glass()
+    validate_chamfer()
+    validate_blur_matmul()
     print(json.dumps({"chip_validate_motion_glass": "ok"}))

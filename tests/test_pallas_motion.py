@@ -108,3 +108,49 @@ def test_glass_shuffle_matches_xla_selects():
             np.asarray(got)[np.broadcast_to(interior, got.shape)],
             np.asarray(acc)[np.broadcast_to(interior, acc.shape)],
         )
+
+
+def _chamfer_oracle(zero_mask, cap, iters):
+    """The non-wrap slice form (jax_kernels._chamfer_distance CPU path),
+    inlined so the test is oracle-independent of the dispatcher."""
+    import math
+
+    from robustart_tpu.noise.corruptions.jax_kernels import _CHAMFER_OFFSETS
+
+    h, w = zero_mask.shape
+    dist = np.where(zero_mask, 0.0, cap).astype(np.float32)
+    for _ in range(iters):
+        p = np.pad(dist, 2, constant_values=cap)
+        best = dist
+        for dy, dx, wt in _CHAMFER_OFFSETS:
+            best = np.minimum(
+                best, p[2 + dy: 2 + dy + h, 2 + dx: 2 + dx + w]
+                + np.float32(wt)
+            )
+        dist = np.minimum(best, np.float32(cap))
+    return dist
+
+
+def test_chamfer_pallas_matches_slice_form():
+    """chamfer_pallas (interpret mode) == the non-wrap slice propagation,
+    bitwise, incl. non-128-multiple widths (cap-filled lane padding)."""
+    from robustart_tpu.ops.pallas_motion import chamfer_pallas
+
+    rng = np.random.default_rng(5)
+    for h, w in [(32, 48), (40, 224), (32, 130)]:
+        mask = rng.uniform(size=(h, w)) < 0.01
+        dist0 = jnp.where(jnp.asarray(mask), 0.0, 20.0).astype(jnp.float32)
+        got = np.asarray(chamfer_pallas(dist0, cap=20.0, iters=12,
+                                        interpret=True))
+        want = _chamfer_oracle(mask, 20.0, 12)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_chamfer_dispatcher_cpu_matches_oracle():
+    from robustart_tpu.noise.corruptions.jax_kernels import _chamfer_distance
+
+    rng = np.random.default_rng(6)
+    mask = rng.uniform(size=(64, 96)) < 0.02
+    got = np.asarray(_chamfer_distance(jnp.asarray(mask), cap=20.0,
+                                       iters=12))
+    np.testing.assert_array_equal(got, _chamfer_oracle(mask, 20.0, 12))
