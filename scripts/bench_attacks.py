@@ -46,7 +46,7 @@ ATTACKS = {  # name -> (fn-name, steps per invocation, kwargs)
 }
 
 
-def bench(model_name: str) -> list[dict]:
+def bench(model_name: str, attacks: dict | None = None) -> list[dict]:
     from robustart_tpu.attacks import gradient
     from robustart_tpu.models import create_classifier
 
@@ -61,7 +61,7 @@ def bench(model_name: str) -> list[dict]:
     labels = jnp.asarray(np.argmax(logits0, -1))
 
     rows = []
-    for disp, (fn_name, steps, kw) in ATTACKS.items():
+    for disp, (fn_name, steps, kw) in (attacks or ATTACKS).items():
         fn = getattr(gradient, fn_name)
 
         @jax.jit
@@ -175,18 +175,12 @@ def main(argv=None):
     only = set(args.only.split(",")) if args.only else {
         "grid", "aa_standard", "aa_rand", "clip"}
 
-    global ATTACKS
     sel = {k: v for k, v in ATTACKS.items()
            if k in set(args.attacks.split(","))}
     all_rows = []
     if "grid" in only:
-        saved = ATTACKS
-        ATTACKS = sel
-        try:
-            for m in args.models.split(","):
-                all_rows += bench(m)
-        finally:
-            ATTACKS = saved
+        for m in args.models.split(","):
+            all_rows += bench(m, sel)
     for tag, version in (("aa_standard", "standard"), ("aa_rand", "rand")):
         if tag in only:
             try:

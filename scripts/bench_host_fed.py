@@ -158,7 +158,7 @@ def bench_host_fed(paths, batch, threads, mode, qparams, eval_clean,
     idx = np.arange(len(paths))
     loader = NativeDataLoader(
         paths, labels, idx, batch, input_size=224, test_resize=256,
-        mode="onecrop", num_threads=threads,
+        mode="onecrop", num_threads=threads, dct_scale=True,
     )
     # warm compile outside the timed region
     warm = np.zeros((batch, 224, 224, 3), np.uint8)
@@ -202,6 +202,7 @@ def main():
     sizes = [os.path.getsize(p) for p in paths[:200]]
     out["jpeg_kb_mean"] = round(float(np.mean(sizes)) / 1024, 1)
 
+    best_th, best_rate = 8, 0.0
     for th in [int(t) for t in args.threads.split(",")]:
         r = bench_loader(paths, args.batch, th)
         out["rows"][f"loader_{th}t_img_per_sec"] = round(r, 1)
@@ -209,6 +210,9 @@ def main():
         out["rows"][f"loader_dct_{th}t_img_per_sec"] = round(rd, 1)
         print(json.dumps({f"loader_{th}t": round(r, 1),
                           f"loader_dct_{th}t": round(rd, 1)}), flush=True)
+        if rd > best_rate:
+            best_th, best_rate = th, rd
+    out["host_cores"] = os.cpu_count()
 
     if not args.skip_device:
         qparams, ec, ek = _device_setup(args.batch)
@@ -218,7 +222,8 @@ def main():
         print(json.dumps({"device_put_MBps": round(mbps, 1),
                           "img_per_sec": round(ips, 1)}), flush=True)
         for mode in ("clean", "imagenet_c_online"):
-            r = bench_host_fed(paths, args.batch, 16, mode, qparams, ec, ek)
+            r = bench_host_fed(paths, args.batch, best_th, mode, qparams,
+                               ec, ek)
             out["rows"][f"host_fed_{mode}_img_per_sec"] = round(r, 1)
             print(json.dumps({f"host_fed_{mode}": round(r, 1)}), flush=True)
 
