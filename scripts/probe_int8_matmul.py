@@ -54,7 +54,11 @@ def bench(kind: str, m: int, k: int, n: int, iters=30, warm=3) -> float:
                 y = jax.lax.dot(a, b)
                 # thread the output back (nothing hoists): reuse y's first
                 # k columns as the next a
-                return acc + y[0, 0].astype(jnp.float32), y[:, :k].astype(a.dtype)
+                # recycle output columns as the next input (tile when
+                # n < k, e.g. fc2's 768 -> 3072 carry)
+                reps = -(-k // y.shape[1])
+                nxt = jnp.tile(y, (1, reps))[:, :k].astype(a.dtype)
+                return acc + y[0, 0].astype(jnp.float32), nxt
 
             return jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), a))[0]
 
@@ -77,10 +81,13 @@ def bench(kind: str, m: int, k: int, n: int, iters=30, warm=3) -> float:
                         jnp.round(y32.astype(jnp.float32) * 0.0003),
                         -127, 127,
                     ).astype(jnp.int8)
-                    nxt = yq[:, :k]
+                    reps = -(-k // yq.shape[1])
+                    nxt = jnp.tile(yq, (1, reps))[:, :k]
                     chk = y32[0, 0].astype(jnp.float32)
                 else:
-                    nxt = jnp.clip(y32[:, :k] >> 7, -127, 127).astype(jnp.int8)
+                    reps = -(-k // y32.shape[1])
+                    nxt = jnp.clip(jnp.tile(y32, (1, reps))[:, :k] >> 7,
+                                   -127, 127).astype(jnp.int8)
                     chk = y32[0, 0].astype(jnp.float32)
                 return acc + chk, nxt
 
