@@ -18,6 +18,10 @@ ICML 2020). Re-designed for XLA:
 Supports Linf, L2 and L1 norms — L1 uses the sparse top-k step and the
 L1-ball∩box projection of the reference's L1_projection (bisection form),
 enabling the AutoAttack-L1 variant beyond the reference's exposed Linf.
+``apgd_attack_largereps`` adds the reference's L1 ``use_largereps``
+schedule (autopgd_base.py:489-569: three phases at 3ε→2ε→ε with warm
+starts), which the reference's `standard` version enables for L1
+(autoattack.py:258-262).
 """
 
 from __future__ import annotations
@@ -111,19 +115,9 @@ def l1_ball_box_projection(x_orig, x_adv, eps, iters: int = 30):
     return jnp.clip(x_orig + delta, 0.0, 1.0)
 
 
-def _l1_sparse_step(x_adv, grad, step, sparsity: float = 0.05):
-    """L1-APGD step: move only the top-k fraction of coordinates by |grad|
-    (Croce & Hein, 'Mind the box: l1-APGD'; reference autopgd_base sparse
-    top-k steps). Step mass ``step`` is spread over the selected coords."""
-    g = _margin_flat(grad)
-    k = max(int(g.shape[1] * sparsity), 1)
-    thresh = jnp.sort(jnp.abs(g), axis=1)[:, -k][:, None]
-    mask = (jnp.abs(g) >= thresh).astype(g.dtype)
-    direction = jnp.sign(g) * mask
-    direction = direction / jnp.maximum(
-        jnp.sum(jnp.abs(direction), 1, keepdims=True), 1e-12
-    )
-    return x_adv + (step.reshape(-1, 1) * direction).reshape(x_adv.shape)
+def _l0_norm(v: jax.Array) -> jax.Array:
+    """Per-sample count of nonzero coordinates (reference other_utils.py:42)."""
+    return (_margin_flat(v) != 0).sum(1).astype(jnp.float32)
 
 
 def _project(x_adv, x_orig, eps, norm):
@@ -156,14 +150,32 @@ def apgd_attack(
     targets: jax.Array | None = None,
     eot_iter: int = 1,
     rho: float = 0.75,
+    x_init: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One APGD run. Returns (x_adv_best, best_loss_per_sample).
 
     ``loss``: 'ce' | 'dlr' | 'dlr-targeted' (requires ``targets``).
-    Maximizes the loss within the eps-ball.
+    Maximizes the loss within the eps-ball. ``x_init``, when given, replaces
+    the random start (projected into the ball) — the warm-start hook the
+    reference's decr_eps_pgd uses (autopgd_base.py:560-567).
     """
     b = x.shape[0]
     ndim_tail = (1,) * (x.ndim - 1)
+
+    if norm == "L1":
+        # L1 uses a structurally different algorithm (adaptive-sparsity
+        # steps, no momentum — reference autopgd_base.py:296-460 L1
+        # branches); keep the public (x_adv, f_best) contract: fooled
+        # samples return their adversarial point, the rest the max-loss one
+        x_best, f_best, x_fooled, fooled = apgd_attack_l1(
+            logits_fn, variables, x, labels, key,
+            eps=eps, loss=loss, n_iter=n_iter, targets=targets,
+            eot_iter=eot_iter, x_init=x_init,
+        )
+        return (
+            jnp.where(fooled.reshape((-1,) + ndim_tail), x_fooled, x_best),
+            f_best,
+        )
 
     if loss == "ce":
         loss_fn = lambda lg: ce_loss_per_sample(lg, labels)
@@ -191,16 +203,11 @@ def apgd_attack(
         return per, g
 
     # --- init: random point in the ball (paper: x + eps*u/||u||) ---
-    if norm == "Linf":
+    if x_init is not None:
+        x_adv = _project(x_init, x, eps, norm)
+    elif norm == "Linf":
         u = jax.random.uniform(key, x.shape, x.dtype, -1.0, 1.0)
         x_adv = jnp.clip(x + eps * u, 0.0, 1.0)
-    elif norm == "L1":
-        k1, k2 = jax.random.split(key)
-        mag = jax.random.exponential(k1, x.shape, x.dtype)
-        sgn = jnp.sign(jax.random.uniform(k2, x.shape, x.dtype) - 0.5)
-        u = mag * sgn
-        u = u / _margin_flat(jnp.abs(u)).sum(1).reshape((-1,) + ndim_tail)
-        x_adv = _project(x + 0.5 * eps * u, x, eps, norm)
     else:
         u = jax.random.normal(key, x.shape, x.dtype)
         x_adv = _project(x + eps * u / _l2n(u).reshape((-1,) + ndim_tail), x, eps, norm)
@@ -211,10 +218,6 @@ def apgd_attack(
     # first step
     if norm == "Linf":
         x1 = _project(x_adv + step * jnp.sign(g0), x, eps, norm)
-    elif norm == "L1":
-        x1 = _project(
-            _l1_sparse_step(x_adv, g0, step.reshape(b, -1)[:, 0]), x, eps, norm
-        )
     else:
         x1 = _project(
             x_adv + step * g0 / _l2n(g0).reshape((-1,) + ndim_tail), x, eps, norm
@@ -245,12 +248,6 @@ def apgd_attack(
         f_k, g_k = loss_and_grad(carry["x_k"])
         if norm == "Linf":
             z = _project(carry["x_k"] + carry["step"] * jnp.sign(g_k), x, eps, norm)
-        elif norm == "L1":
-            z = _project(
-                _l1_sparse_step(carry["x_k"], g_k,
-                                carry["step"].reshape(b, -1)[:, 0]),
-                x, eps, norm,
-            )
         else:
             z = _project(
                 carry["x_k"]
@@ -305,3 +302,200 @@ def apgd_attack(
 
     carry = jax.lax.fori_loop(0, n_iter - 1, body, carry)
     return carry["x_best"], carry["f_best"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("logits_fn", "loss", "n_iter", "eot_iter"),
+)
+def apgd_attack_l1(
+    logits_fn: LogitsFn,
+    variables: Any,
+    x: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    *,
+    eps: float,
+    loss: str = "ce",
+    n_iter: int = 100,
+    targets: jax.Array | None = None,
+    eot_iter: int = 1,
+    x_init: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """L1-APGD (Croce & Hein, "Mind the box: l1-APGD for sparse adversarial
+    attacks", ICML 2021) — the reference's L1 branch of attack_single_run
+    (autopgd_base.py:221-224 init, 296-313 hyper-params, 350-365 step,
+    429-441 adaptation), redesigned as one ``lax.fori_loop``:
+
+    - sparse step: move only the coordinates whose |grad| is in the top
+      ``topk`` fraction, spreading step mass over their sign pattern, then
+      project onto the L1-ball∩box (bisection);
+    - NO momentum term for L1 (the reference's a-mixing applies to Linf/L2
+      only, autopgd_base.py:332-348 vs 350-361);
+    - adaptive sparsity: every k = max(0.04·n_iter, 1) iterations, topk ←
+      L0(x_best−x)/D/1.5; samples whose support shrank >5% reset their step
+      to α·ε and restart from x_best, others divide step by 1.5 (clamped to
+      [α·ε/10, α·ε]), with α = 1;
+    - step size starts at α·ε = ε (Linf/L2 use 2ε, autopgd_base.py:296).
+
+    Returns ``(x_best, f_best, x_fooled, ever_fooled)``: the max-loss point,
+    its loss, the latest misclassified point per sample, and whether one was
+    found (reference x_best_adv / acc).
+    """
+    b = x.shape[0]
+    ndim_tail = (1,) * (x.ndim - 1)
+    D = int(np.prod(x.shape[1:]))
+
+    if loss == "ce":
+        loss_fn = lambda lg: ce_loss_per_sample(lg, labels)
+    elif loss == "dlr":
+        loss_fn = lambda lg: dlr_loss(lg, labels)
+    elif loss == "dlr-targeted":
+        loss_fn = lambda lg: dlr_loss_targeted(lg, labels, targets)
+    else:
+        raise ValueError(loss)
+
+    def loss_grad_logits(x_adv):
+        def total(xi):
+            lg = logits_fn(variables, xi)
+            return loss_fn(lg).sum(), lg
+
+        if eot_iter == 1:
+            (_, lg), g = jax.value_and_grad(total, has_aux=True)(x_adv)
+            return loss_fn(lg), g, lg
+
+        def body(i, acc):
+            return acc + jax.grad(total, has_aux=True)(x_adv)[0]
+
+        g = jax.lax.fori_loop(0, eot_iter, body, jnp.zeros_like(x_adv))
+        lg = logits_fn(variables, x_adv)
+        return loss_fn(lg), g / eot_iter, lg
+
+    # --- init (reference autopgd_base.py:221-224, 302-313) ---
+    if x_init is None:
+        t = jax.random.normal(key, x.shape, x.dtype)
+        x_adv = l1_ball_box_projection(x, x + t, eps)
+        topk = jnp.full((b,), 0.2, jnp.float32)
+        sp_old = jnp.full((b,), float(D), jnp.float32)
+    else:
+        x_adv = l1_ball_box_projection(x, x_init, eps)
+        sp_old = _l0_norm(x_adv - x)
+        topk = sp_old / D / 1.5
+
+    f0, g0, lg0 = loss_grad_logits(x_adv)
+    fooled0 = jnp.argmax(lg0, 1) != labels
+    alpha = 1.0  # L1 step-size multiplier (autopgd_base.py:296)
+    k_adapt = max(int(0.04 * n_iter), 1)
+
+    carry = dict(
+        x_adv=x_adv,
+        grad=g0,
+        x_best=x_adv,
+        grad_best=g0,
+        f_best=f0,
+        step=jnp.full((b,), alpha * eps, x.dtype),
+        topk=topk,
+        sp_old=sp_old,
+        x_fooled=x_adv,
+        ever_fooled=fooled0,
+    )
+
+    def body(i, carry):
+        # sparse top-k step on the carried gradient
+        gflat = jnp.abs(_margin_flat(carry["grad"]))
+        order = jnp.sort(gflat, axis=1)  # ascending
+        idx = jnp.clip(((1.0 - carry["topk"]) * D).astype(jnp.int32), 0, D - 1)
+        thr = jnp.take_along_axis(order, idx[:, None], axis=1)
+        sparse = carry["grad"] * (gflat >= thr).reshape(x.shape).astype(x.dtype)
+        sgn = jnp.sign(sparse)
+        denom = _margin_flat(jnp.abs(sgn)).sum(1) + 1e-10
+        x_adv = carry["x_adv"] + (
+            carry["step"] / denom
+        ).reshape((-1,) + ndim_tail) * sgn
+        x_adv = l1_ball_box_projection(x, x_adv, eps)
+
+        f, g, lg = loss_grad_logits(x_adv)
+        wrong = jnp.argmax(lg, 1) != labels
+        x_fooled = jnp.where(
+            wrong.reshape((-1,) + ndim_tail), x_adv, carry["x_fooled"]
+        )
+        improved = f > carry["f_best"]
+        imp_t = improved.reshape((-1,) + ndim_tail)
+        x_best = jnp.where(imp_t, x_adv, carry["x_best"])
+        grad_best = jnp.where(imp_t, g, carry["grad_best"])
+        f_best = jnp.maximum(f, carry["f_best"])
+
+        # sparsity/step adaptation every k_adapt iterations
+        is_adapt = ((i + 1) % k_adapt) == 0
+        sp_curr = _l0_norm(x_best - x)
+        fl_red = (sp_curr / carry["sp_old"]) < 0.95
+        step_new = jnp.clip(
+            jnp.where(fl_red, alpha * eps, carry["step"] / 1.5),
+            alpha * eps / 10.0,
+            alpha * eps,
+        )
+        restart = (is_adapt & fl_red).reshape((-1,) + ndim_tail)
+        return dict(
+            x_adv=jnp.where(restart, x_best, x_adv),
+            grad=jnp.where(restart, grad_best, g),
+            x_best=x_best,
+            grad_best=grad_best,
+            f_best=f_best,
+            step=jnp.where(is_adapt, step_new, carry["step"]),
+            topk=jnp.where(is_adapt, sp_curr / D / 1.5, carry["topk"]),
+            sp_old=jnp.where(is_adapt, sp_curr, carry["sp_old"]),
+            x_fooled=x_fooled,
+            ever_fooled=carry["ever_fooled"] | wrong,
+        )
+
+    carry = jax.lax.fori_loop(0, n_iter, body, carry)
+    return (
+        carry["x_best"],
+        carry["f_best"],
+        carry["x_fooled"],
+        carry["ever_fooled"],
+    )
+
+
+def apgd_attack_largereps(
+    logits_fn: LogitsFn,
+    variables: Any,
+    x: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    *,
+    eps: float,
+    loss: str = "ce",
+    n_iter: int = 100,
+    targets: jax.Array | None = None,
+    eot_iter: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """L1-APGD with the reference's ``use_largereps`` schedule.
+
+    Three warm-started phases at shrinking radii 3ε → 2ε → ε with the
+    iteration budget split 0.3/0.3/0.4 (reference autopgd_base.py:489-494,
+    549-569). Each phase starts from the previous phase's best point
+    projected into the smaller ball; the initial point is x + N(0,1)
+    projected into the 3ε ball (decr_eps_pgd use_rs). The reference's
+    `standard` AutoAttack version enables this for L1
+    (autoattack.py:258-262). Returns (x_adv, f_best) at the target radius,
+    with fooled samples carrying their adversarial point.
+    """
+    import math
+
+    epss = [3.0 * eps, 2.0 * eps, 1.0 * eps]
+    iters = [math.ceil(0.3 * n_iter), math.ceil(0.3 * n_iter)]
+    iters.append(max(n_iter - sum(iters), 1))
+
+    x_warm = x + jax.random.normal(key, x.shape, x.dtype)
+    f_best = x_fooled = fooled = None
+    for eps_i, niter in zip(epss, iters):
+        key, sub = jax.random.split(key)
+        x_warm, f_best, x_fooled, fooled = apgd_attack_l1(
+            logits_fn, variables, x, labels, sub,
+            eps=eps_i, loss=loss, n_iter=niter,
+            targets=targets, eot_iter=eot_iter, x_init=x_warm,
+        )
+    # last phase ran at the target ε: prefer its misclassified points
+    tail = (1,) * (x.ndim - 1)
+    return jnp.where(fooled.reshape((-1,) + tail), x_fooled, x_warm), f_best

@@ -32,7 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from robustart_tpu.attacks.autoattack.apgd import apgd_attack
+from robustart_tpu.attacks.autoattack.apgd import (
+    apgd_attack,
+    apgd_attack_largereps,
+)
 from robustart_tpu.attacks.autoattack.fab import fab_attack_targeted
 from robustart_tpu.attacks.autoattack.square import (
     square_attack_l1,
@@ -72,12 +75,20 @@ class AutoAttack:
         self.n_target_classes = n_target_classes
         self.square_n_queries = square_n_queries
 
+        # L1 `standard` follows the reference's set_version
+        # (autoattack.py:258-262): the largereps 3ε→2ε→ε schedule, 5 APGD
+        # restarts, 5 target classes
+        self.use_largereps = False
         if attacks_to_run is not None:
             self.attacks_to_run = list(attacks_to_run)
         elif version == "standard":
             self.attacks_to_run = ["apgd-ce", "apgd-t", "fab-t", "square"]
             self.apgd_n_restarts = 1
             self.eot_iter = 1
+            if norm == "L1":
+                self.use_largereps = True
+                self.apgd_n_restarts = 5
+                self.n_target_classes = min(n_target_classes, 5)
         elif version == "rand":
             self.attacks_to_run = ["apgd-ce", "apgd-dlr"]
             self.apgd_n_restarts = 1
@@ -246,15 +257,26 @@ class AutoAttack:
         variables = self.model.variables
         xj = self._put(x)
         yj = self._put(y)
+        largereps = self.use_largereps and self.norm == "L1"
+
+        def _apgd(xa, ya, k, *, loss, targets=None):
+            if largereps:
+                return apgd_attack_largereps(
+                    fn, variables, xa, ya, k, eps=self.eps, loss=loss,
+                    n_iter=self.n_iter, targets=targets,
+                    eot_iter=self.eot_iter,
+                )
+            return apgd_attack(
+                fn, variables, xa, ya, k, eps=self.eps, norm=self.norm,
+                loss=loss, n_iter=self.n_iter, targets=targets,
+                eot_iter=self.eot_iter,
+            )
+
         if attack == "apgd-ce":
             best = None
             best_f = None
             for r in range(self.apgd_n_restarts):
-                x_try, f = apgd_attack(
-                    fn, variables, xj, yj, jax.random.fold_in(key, r),
-                    eps=self.eps, norm=self.norm, loss="ce",
-                    n_iter=self.n_iter, eot_iter=self.eot_iter,
-                )
+                x_try, f = _apgd(xj, yj, jax.random.fold_in(key, r), loss="ce")
                 if best is None:
                     best, best_f = x_try, f
                 else:
@@ -275,11 +297,9 @@ class AutoAttack:
             fooled = np.zeros(x.shape[0], bool)
             for rank in range(self.n_target_classes):
                 targets = self._ranked_targets(x, y, rank)
-                x_try, _ = apgd_attack(
-                    fn, variables, xj, yj, jax.random.fold_in(key, 100 + rank),
-                    eps=self.eps, norm=self.norm, loss="dlr-targeted",
-                    n_iter=self.n_iter, targets=self._put(targets),
-                    eot_iter=self.eot_iter,
+                x_try, _ = _apgd(
+                    xj, yj, jax.random.fold_in(key, 100 + rank),
+                    loss="dlr-targeted", targets=self._put(targets),
                 )
                 x_try = np.asarray(x_try)
                 pred = self._predict(x_try)

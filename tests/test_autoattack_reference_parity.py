@@ -330,6 +330,70 @@ def test_rand_version_eot_robust_accuracy_agreement(shared_model_and_data,
         assert delta.max() <= EPS_LINF * 1.001
 
 
+EPS_L1 = 3.0  # tuned: L1 cascade robust acc ≈ 0.73 on this model/data
+
+
+def _l1_autoattacks(net, clf, monkeypatch):
+    """Both suites configured for L1 `standard` (largereps schedule on both
+    sides, reference autoattack.py:258-262) with identical reduced budgets
+    (n_restarts 1 instead of the reference's 5 — applied to BOTH sides)."""
+    aa_t = _torch_autoattack(net, "L1", EPS_L1, monkeypatch)
+    aa_t.apgd.n_restarts = 1
+    aa_t.apgd_targeted.n_restarts = 1
+    aa_j = AutoAttack(
+        clf, norm="L1", eps=EPS_L1, version="standard", seed=0,
+        n_iter=N_ITER, n_target_classes=N_TGT, square_n_queries=N_QUERIES,
+    )
+    aa_j.apgd_n_restarts = 1
+    assert aa_j.use_largereps  # L1 standard must enable the 3ε→2ε→ε schedule
+    return aa_t, aa_j
+
+
+@pytest.mark.parametrize("attack", ["apgd-ce", "apgd-t", "fab-t"])
+def test_l1_per_attack_robust_accuracy_agreement(shared_model_and_data,
+                                                 monkeypatch, attack):
+    """Head-to-head L1: our adaptive-sparsity L1-APGD (apgd.py::
+    apgd_attack_l1, the reference's autopgd_base.py L1 branches) and
+    FAB-T-L1 vs the reference's vendored torch suite. Square-L1 is covered
+    by the cascade test (at this eps it finds nothing on either side,
+    which would be vacuous standalone)."""
+    net, clf, xte, yte = shared_model_and_data
+    aa_t, aa_j = _l1_autoattacks(net, clf, monkeypatch)
+    aa_t.attacks_to_run = [attack]
+    x_t = torch.tensor(xte.transpose(0, 3, 1, 2))
+    adv_t = aa_t.run_standard_evaluation(x_t, torch.tensor(yte), bs=N_EVAL)
+    racc_t = _torch_racc(net, adv_t, yte)
+
+    adv_j = aa_j.run_standard_evaluation(xte, yte, bs=N_EVAL,
+                                         attacks_to_run=[attack])
+    racc_j = _jax_racc(clf, adv_j, yte)
+    assert abs(racc_t - racc_j) <= 0.125, (attack, racc_t, racc_j)
+    # the attack must actually bite on both sides (else agreement is vacuous)
+    assert racc_t <= 0.98 and racc_j <= 0.98
+
+
+def test_l1_standard_cascade_robust_accuracy_agreement(shared_model_and_data,
+                                                       monkeypatch):
+    """Full L1 standard cascade head-to-head, incl. the largereps APGD
+    schedule (reference autopgd_base.py:549-569) + eps-ball containment."""
+    net, clf, xte, yte = shared_model_and_data
+    aa_t, aa_j = _l1_autoattacks(net, clf, monkeypatch)
+    x_t = torch.tensor(xte.transpose(0, 3, 1, 2))
+    adv_t = aa_t.run_standard_evaluation(x_t, torch.tensor(yte), bs=N_EVAL)
+    racc_t = _torch_racc(net, adv_t, yte)
+
+    adv_j = aa_j.run_standard_evaluation(xte, yte, bs=N_EVAL)
+    racc_j = _jax_racc(clf, adv_j, yte)
+
+    assert abs(racc_t - racc_j) <= 0.125, (racc_t, racc_j)
+    # test power: eps leaves a non-degenerate robust set
+    assert 0.02 <= racc_t <= 0.98
+
+    for adv in (np.asarray(adv_t.numpy().transpose(0, 2, 3, 1)), adv_j):
+        delta = (adv - xte).reshape(N_EVAL, -1)
+        assert np.abs(delta).sum(1).max() <= EPS_L1 * 1.001
+
+
 def test_pgd_l1_art_semantics_cross_check(shared_model_and_data):
     """Cross-check pgd_l1 against the reference's ART wrapper semantics
     (reference attack.py:44-49: ProjectedGradientDescentPyTorch norm=1,
