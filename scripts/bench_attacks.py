@@ -94,12 +94,16 @@ def bench(model_name: str, attacks: dict | None = None) -> list[dict]:
 
 
 def autoattack_wallclock(model_name: str = "resnet50_official",
-                         bs: int = 250, version: str = "standard") -> dict:
+                         bs: int = 250, version: str = "standard",
+                         norm: str = "Linf") -> dict:
     """One standard-cascade AutoAttack wall-clock at the reference's eval
     batch size (reference autoattack run_standard_evaluation bs=250) —
     full budget: apgd-ce / apgd-t / fab-t / square, n_iter=100, 5000
     square queries. Host orchestration + dispatch latency included: this
-    is the number a user's robust-accuracy eval actually pays."""
+    is the number a user's robust-accuracy eval actually pays. L1 runs the
+    reference's L1 `standard` settings (largereps schedule, 5 APGD
+    restarts, 5 target classes; autoattack.py:258-262) at eps=1600 — the
+    repo's pgd_l1 grid scale (reference eval.sh:13)."""
     from robustart_tpu.attacks.autoattack.core import AutoAttack
     from robustart_tpu.models import create_classifier
 
@@ -109,13 +113,15 @@ def autoattack_wallclock(model_name: str = "resnet50_official",
     x0 = jnp.asarray(rng.uniform(0, 1, (bs, 224, 224, 3)), jnp.float32)
     logits0 = np.asarray(clf.apply_fn(clf.variables, x0, train=False))
     y = jnp.asarray(np.argmax(logits0, -1))
-    aa = AutoAttack(clf, norm="Linf", eps=4 / 255, version=version)
+    eps = {"Linf": 4 / 255, "L2": 2.0, "L1": 1600.0}[norm]
+    aa = AutoAttack(clf, norm=norm, eps=eps, version=version)
     t0 = time.perf_counter()
     adv = aa.run_standard_evaluation(x0, y, bs=bs)
     np.asarray(adv)  # force fetch (relay: completion observable at fetch)
     dt = time.perf_counter() - t0
     row = {
-        "model": model_name, "attack": f"autoattack_{version}_linf",
+        "model": model_name,
+        "attack": f"autoattack_{version}_{norm.lower()}",
         "batch": bs, "wallclock_s": round(dt, 1),
         "img_per_sec": round(bs / dt, 2),
     }
@@ -166,14 +172,15 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="",
-                    help="comma list: grid, aa_standard, aa_rand, clip; "
-                         "empty = all. Partial runs merge into attacks.json")
+                    help="comma list: grid, aa_standard, aa_rand, aa_l1, "
+                         "clip; empty = all. Partial runs merge into "
+                         "attacks.json")
     ap.add_argument("--models", default="resnet50_official,vit_b16_224")
     ap.add_argument("--attacks", default=",".join(ATTACKS),
                     help="grid attack subset")
     args = ap.parse_args(argv)
     only = set(args.only.split(",")) if args.only else {
-        "grid", "aa_standard", "aa_rand", "clip"}
+        "grid", "aa_standard", "aa_rand", "aa_l1", "clip"}
 
     sel = {k: v for k, v in ATTACKS.items()
            if k in set(args.attacks.split(","))}
@@ -181,13 +188,17 @@ def main(argv=None):
     if "grid" in only:
         for m in args.models.split(","):
             all_rows += bench(m, sel)
-    for tag, version in (("aa_standard", "standard"), ("aa_rand", "rand")):
+    for tag, version, norm in (("aa_standard", "standard", "Linf"),
+                               ("aa_rand", "rand", "Linf"),
+                               ("aa_l1", "standard", "L1")):
         if tag in only:
             try:
-                all_rows.append(autoattack_wallclock(version=version))
+                all_rows.append(
+                    autoattack_wallclock(version=version, norm=norm))
             except Exception as e:
-                all_rows.append({"attack": f"autoattack_{version}_linf",
-                                 "error": f"{type(e).__name__}: {e}"[:200]})
+                all_rows.append(
+                    {"attack": f"autoattack_{version}_{norm.lower()}",
+                     "error": f"{type(e).__name__}: {e}"[:200]})
     if "clip" in only:
         try:
             all_rows.append(clip_pgd_row())

@@ -330,6 +330,37 @@ def test_rand_version_eot_robust_accuracy_agreement(shared_model_and_data,
         assert delta.max() <= EPS_LINF * 1.001
 
 
+def test_plus_version_robust_accuracy_agreement(shared_model_and_data,
+                                                monkeypatch):
+    """Head-to-head `plus` version (autoattack.py:276-284: apgd-ce,
+    apgd-dlr, fab, square, apgd-t, fab-t) — the only cascade covering
+    untargeted APGD-DLR and untargeted FAB, neither exercised by the
+    standard/rand oracles. Restarts reduced to 1 on BOTH sides (the
+    reference's plus uses 5) to keep the runtime test-sized."""
+    net, clf, xte, yte = shared_model_and_data
+    aa_t = _torch_autoattack(net, "Linf", EPS_LINF, monkeypatch)
+    aa_t.version = "plus"
+    aa_t.attacks_to_run = ["apgd-ce", "apgd-dlr", "fab", "square",
+                           "apgd-t", "fab-t"]
+    aa_t.apgd.n_restarts = 1
+    aa_t.fab.n_restarts = 1
+    x_t = torch.tensor(xte.transpose(0, 3, 1, 2))
+    adv_t = aa_t.run_standard_evaluation(x_t, torch.tensor(yte), bs=N_EVAL)
+    racc_t = _torch_racc(net, adv_t, yte)
+
+    aa_j = AutoAttack(
+        clf, norm="Linf", eps=EPS_LINF, version="plus", seed=0,
+        n_iter=N_ITER, n_target_classes=N_TGT, square_n_queries=N_QUERIES,
+    )
+    aa_j.apgd_n_restarts = 1
+    adv_j = aa_j.run_standard_evaluation(xte, yte, bs=N_EVAL)
+    racc_j = _jax_racc(clf, adv_j, yte)
+
+    assert abs(racc_t - racc_j) <= 0.125, (racc_t, racc_j)
+    for adv in (np.asarray(adv_t.numpy().transpose(0, 2, 3, 1)), adv_j):
+        assert np.abs(adv - xte).max() <= EPS_LINF * 1.001
+
+
 EPS_L1 = 3.0  # tuned: L1 cascade robust acc ≈ 0.73 on this model/data
 
 
@@ -370,6 +401,31 @@ def test_l1_per_attack_robust_accuracy_agreement(shared_model_and_data,
     assert abs(racc_t - racc_j) <= 0.125, (attack, racc_t, racc_j)
     # the attack must actually bite on both sides (else agreement is vacuous)
     assert racc_t <= 0.98 and racc_j <= 0.98
+
+
+def test_l1_square_robust_accuracy_agreement(shared_model_and_data,
+                                             monkeypatch):
+    """Square-L1 head-to-head at eps=8 (at the cascade's eps=3 the
+    random-search attack finds nothing on either side within the reduced
+    query budget, which would be vacuous — at 8 it bites on both)."""
+    net, clf, xte, yte = shared_model_and_data
+    aa_t = _torch_autoattack(net, "L1", 8.0, monkeypatch)
+    aa_t.attacks_to_run = ["square"]
+    x_t = torch.tensor(xte.transpose(0, 3, 1, 2))
+    adv_t = aa_t.run_standard_evaluation(x_t, torch.tensor(yte), bs=N_EVAL)
+    racc_t = _torch_racc(net, adv_t, yte)
+
+    aa_j = AutoAttack(
+        clf, norm="L1", eps=8.0, version="standard", seed=0,
+        n_iter=N_ITER, n_target_classes=N_TGT, square_n_queries=N_QUERIES,
+    )
+    adv_j = aa_j.run_standard_evaluation(xte, yte, bs=N_EVAL,
+                                         attacks_to_run=["square"])
+    racc_j = _jax_racc(clf, adv_j, yte)
+    assert abs(racc_t - racc_j) <= 0.125, (racc_t, racc_j)
+    assert racc_t <= 0.98 and racc_j <= 0.98  # must bite on both sides
+    for adv in (np.asarray(adv_t.numpy().transpose(0, 2, 3, 1)), adv_j):
+        assert np.abs(adv - xte).reshape(N_EVAL, -1).sum(1).max() <= 8.0 * 1.001
 
 
 def test_l1_standard_cascade_robust_accuracy_agreement(shared_model_and_data,
