@@ -35,6 +35,61 @@ DEFAULT_PERTURBATIONS = (
 )
 
 
+def perturb_frame(pert: str, x01, frame, key, n_frames: int):
+    """One online ImageNet-P frame for a single image (frame 0 = clean).
+
+    Sequence semantics follow the ImageNet-P construction (reference
+    creates them offline; SURVEY.md §3.5): 'noise' perturbations draw an
+    independent increasing-σ sample per frame (anchored to frame 0 =
+    clean); all others ramp the perturbation parameter smoothly across
+    frames (brightness shift, zoom factor, rotation/translate/tilt as
+    affine warps, motion drift). ``frame`` may be a traced scalar —
+    everything branches via lax.switch/arithmetic, so a ``lax.fori_loop``
+    over frames compiles to one program (scripts/bench_imagenet_p.py).
+    Shared by the solver's online mode and the chip bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
+    from robustart_tpu.ops.image import map_coordinates_bilinear_reflect
+
+    t = frame / max(n_frames - 1, 1)
+    if pert in ("gaussian_noise", "shot_noise", "speckle_noise", "snow"):
+        sev = jnp.minimum(1 + (frame * 5) // n_frames, 5)
+        # independent draw per frame at ramped severity: branch over
+        # static severities
+        branches = [
+            (lambda xx, kk, s=s: CORRUPTIONS[pert](xx, kk, s))
+            for s in range(1, 6)
+        ]
+        return jax.lax.switch(sev - 1, branches, x01, key)
+    if pert == "brightness":
+        return jnp.clip(x01 + 0.4 * t, 0.0, 1.0)
+    h, w = x01.shape[0], x01.shape[1]
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32), indexing="ij",
+    )
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    if pert in ("zoom_blur", "scale"):
+        z = 1.0 + 0.3 * t
+        sy, sx = (yy - cy) / z + cy, (xx - cx) / z + cx
+    elif pert == "rotate":
+        ang = (15.0 * t) * jnp.pi / 180.0
+        sy = cy + (yy - cy) * jnp.cos(ang) - (xx - cx) * jnp.sin(ang)
+        sx = cx + (yy - cy) * jnp.sin(ang) + (xx - cx) * jnp.cos(ang)
+    elif pert == "translate":
+        sy, sx = yy - (h * 0.1) * t, xx - (w * 0.1) * t
+    elif pert == "tilt":
+        # shear as a first-order tilt approximation
+        sy, sx = yy + 0.2 * t * (xx - cx), xx
+    elif pert == "motion_blur":
+        sy, sx = yy, xx - 3.0 * t  # drift; blur ramp via averaging
+    else:
+        sy, sx = yy, xx
+    return map_coordinates_bilinear_reflect(x01, sy, sx)
+
+
 class ImgnetPEvalSolver(Solver):
     def evaluate(self, ckpt_path: str | None = None) -> dict:
         cfg = self.cfg
@@ -109,51 +164,14 @@ class ImgnetPEvalSolver(Solver):
         import jax
         import jax.numpy as jnp
 
-        from robustart_tpu.noise.corruptions.jax_kernels import CORRUPTIONS
-        from robustart_tpu.ops.image import map_coordinates_bilinear_reflect
-
         cfg = self.cfg
         loader = build_dataloader(
             cfg.data, "test", self.rank, self.world_size,
             seed=int(cfg.get("seed", 0)),
         )
+
         def frame_fn(x01, frame, key):
-            """One perturbed frame; frame 0 = clean; strength ramps with f."""
-            t = frame / max(n_frames - 1, 1)
-            if pert in ("gaussian_noise", "shot_noise", "speckle_noise"):
-                sev = jnp.minimum(1 + (frame * 5) // n_frames, 5)
-                # independent draw per frame at ramped severity: branch over
-                # static severities
-                branches = [
-                    (lambda xx, kk, s=s: CORRUPTIONS[pert](xx, kk, s))
-                    for s in range(1, 6)
-                ]
-                return jax.lax.switch(sev - 1, branches, x01, key)
-            if pert == "brightness":
-                return jnp.clip(x01 + 0.4 * t, 0.0, 1.0)
-            h, w = x01.shape[0], x01.shape[1]
-            yy, xx = jnp.meshgrid(
-                jnp.arange(h, dtype=jnp.float32),
-                jnp.arange(w, dtype=jnp.float32), indexing="ij",
-            )
-            cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-            if pert in ("zoom_blur", "scale"):
-                z = 1.0 + 0.3 * t
-                sy, sx = (yy - cy) / z + cy, (xx - cx) / z + cx
-            elif pert == "rotate":
-                ang = (15.0 * t) * jnp.pi / 180.0
-                sy = cy + (yy - cy) * jnp.cos(ang) - (xx - cx) * jnp.sin(ang)
-                sx = cx + (yy - cy) * jnp.sin(ang) + (xx - cx) * jnp.cos(ang)
-            elif pert == "translate":
-                sy, sx = yy - (h * 0.1) * t, xx - (w * 0.1) * t
-            elif pert == "tilt":
-                # shear as a first-order tilt approximation
-                sy, sx = yy + 0.2 * t * (xx - cx), xx
-            elif pert == "motion_blur":
-                sy, sx = yy, xx - 3.0 * t  # drift; blur ramp via averaging
-            else:
-                sy, sx = yy, xx
-            return map_coordinates_bilinear_reflect(x01, sy, sx)
+            return perturb_frame(pert, x01, frame, key, n_frames)
 
         # frame synthesis and classification are SEPARATE XLA programs: the
         # current XLA TPU build mis-compiles certain corruption+conv fusions

@@ -273,3 +273,40 @@ def test_imgnet_p_stored_mp4_videos(tmp_path):
     res = tmp_path / "results" / "gaussian_noise" / "results.txt.all"
     lines = [json.loads(l) for l in open(res)]
     assert len(lines) == 4 and len(lines[0]["predictions"]) == 3
+
+
+def test_perturb_frame_all_defaults_traced():
+    """`perturb_frame` (the shared online-P frame synthesizer) must handle
+    every DEFAULT_PERTURBATION — including snow, which previously fell
+    through to an identity warp — with a TRACED frame index, so a
+    lax.fori_loop over frames compiles to one program (the megastep form
+    scripts/bench_imagenet_p.py measures)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustart_tpu.solvers.imgnet_p_eval_solver import (
+        DEFAULT_PERTURBATIONS,
+        perturb_frame,
+    )
+
+    rng = np.random.default_rng(0)
+    x01 = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)), jnp.float32)
+    n_frames = 4
+    for pert in DEFAULT_PERTURBATIONS:
+        def seq_checksum(x):
+            def body(f, acc):
+                fr = perturb_frame(pert, x, f, jax.random.key(7), n_frames)
+                return acc + jnp.sum(fr)
+
+            return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
+
+        total = float(jax.jit(seq_checksum)(x01))
+        assert np.isfinite(total), pert
+        # frames must differ across the sequence (no identity fallback):
+        # compare frame 0 vs the last frame with a concrete index too
+        f0 = np.asarray(perturb_frame(pert, x01, 0, jax.random.key(7),
+                                      n_frames))
+        fN = np.asarray(perturb_frame(pert, x01, n_frames - 1,
+                                      jax.random.key(7), n_frames))
+        assert f0.shape == fN.shape == x01.shape, pert
+        assert np.abs(fN - f0).max() > 1e-3, f"{pert}: sequence is constant"
