@@ -40,6 +40,25 @@ def test_matches_gather_bitwise(d):
     np.testing.assert_array_equal(got, want, err_msg=f"d={d}")
 
 
+@pytest.mark.parametrize("tile_h", [8, 16, 32, 56])
+def test_tile_height_invariant(tile_h):
+    """tile_h only re-tiles the grid — output stays bitwise-identical.
+
+    Chip sweep (scripts/bench_warp_tile.py): T=56 runs elastic's warps
+    1.6-1.8x faster than T=8 (the per-tile offset walk is nearly
+    tile-height-invariant), so the dispatcher defaults to the largest
+    multiple-of-8 divisor of H ≤ WARP_TILE_H=56.
+    """
+    rng = np.random.default_rng(13)
+    h, w, d = 224, 56, 9  # 224 is divisible by every tile_h tested
+    img = jnp.asarray(rng.uniform(0, 1, (h, w, 3)), jnp.float32)
+    cy, cx = _coords(rng, h, w, d)
+    want = np.asarray(_gather(img, cy, cx))
+    got = np.asarray(warp_banded_pallas(img, cy, cx, d, d, interpret=True,
+                                        tile_h=tile_h))
+    np.testing.assert_array_equal(got, want, err_msg=f"tile_h={tile_h}")
+
+
 def test_integer_coords_exact():
     rng = np.random.default_rng(3)
     h, w = 32, 48
