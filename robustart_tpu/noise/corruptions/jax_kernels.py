@@ -488,30 +488,44 @@ def _chamfer_distance(zero_mask: jax.Array, cap: float, iters: int) -> jax.Array
 def _equalize_hist(u8: jax.Array) -> jax.Array:
     """cv2.equalizeHist: histogram-equalize a (H, W) uint8-valued array.
 
-    TPU-shaped: the histogram SCATTER (.at[].add) and the LUT GATHER both
-    become one-hot contractions — the scatter serialized on chip and made
-    spatter the 5th-slowest corruption (705 img/s measured). The one-hot
-    (N, 256) never hits HBM twice: XLA fuses it into both reductions.
-    Exact: one nonzero per row, integer values ≤ 255 (bf16-representable),
-    so both contractions are exact.
+    TPU-shaped, third design. The scatter (.at[].add) serialized on chip
+    (705 img/s spatter); the 256-level where-sum fixed that but still did
+    2×256×N fused compare-selects (~27 of spatter's 53 ms/batch-512,
+    scripts/probe_spatter_stages.py — the dominant stage after the
+    chamfer kernel). Here the 8-bit value is split into nibbles
+    v = 16·h + l and both directions become contractions of 16+16
+    indicator planes:
+
+      hist[16·hh + ll] = Σ_p Hm[hh,p]·Lm[ll,p]   —  Hm @ Lmᵀ on the MXU
+      lut-apply:  G = T @ Lm  (T = lut as (16,16)), then a 16-way
+                  masked sum  out[p] = Σ_hh Hm[hh,p]·G[hh,p]
+
+    16× fewer VPU compares (32·N vs 512·N) and two trivial MXU matmuls.
+    Exact: every pixel's column in Hm/Lm has exactly one nonzero; bf16
+    operands hold 0/1 and integer LUT values ≤ 255 exactly; the MXU
+    accumulates in f32 and counts stay < 2^24. Bit-identical to the
+    where-sum form (tests/test_corruptions.py::test_equalize_nibble).
     """
     flat = u8.reshape(-1).astype(jnp.float32)
-    bins = jnp.arange(256, dtype=jnp.float32)
-    hist = jnp.sum(flat[:, None] == bins[None, :], axis=0,
-                   dtype=jnp.float32)
+    n = flat.shape[0]
+    hi = jnp.floor(flat / 16.0)
+    lo = flat - 16.0 * hi
+    nib = jnp.arange(16, dtype=jnp.float32)
+    hm = (hi[None, :] == nib[:, None]).astype(jnp.bfloat16)  # (16, N)
+    lm = (lo[None, :] == nib[:, None]).astype(jnp.bfloat16)  # (16, N)
+    hist2d = jax.lax.dot_general(
+        hm, lm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (16, 16): [hh, ll]
+    hist = hist2d.reshape(256)
     cdf = jnp.cumsum(hist)
     cdf_min = cdf[jnp.argmax(hist > 0)]
-    total = flat.shape[0]
-    lut = jnp.round((cdf - cdf_min) / jnp.maximum(total - cdf_min, 1.0) * 255.0)
+    lut = jnp.round((cdf - cdf_min) / jnp.maximum(n - cdf_min, 1.0) * 255.0)
     lut = jnp.clip(lut, 0, 255)
-    # LUT apply as a fused where-sum, NOT a (N, 256) @ (256,) matmul: the
-    # matmul form materialized the one-hot through HBM (~27 ms of spatter's
-    # 183 ms/batch-512, scripts/probe_spatter_stages.py); the where-sum
-    # fuses compare→select→reduce into one pass. Exact: one nonzero per
-    # row, f32 lut values are integers ≤ 255.
-    out = jnp.sum(
-        jnp.where(flat[:, None] == bins[None, :], lut[None, :], 0.0), axis=1
-    )
+    t16 = lut.reshape(16, 16).astype(jnp.bfloat16)
+    g = jax.lax.dot_general(
+        t16, lm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (16, N): lut[16·hh + l_p]
+    out = jnp.sum(jnp.where(hm != 0, g, 0.0), axis=0)
     return out.reshape(u8.shape)
 
 

@@ -85,7 +85,12 @@ def test_uint8_and_float01_inputs_equal():
 
 def test_solver_dispatch_builds_quantized_mixer():
     """build_quantized routes MlpMixer to quantize_mixer
-    (solvers/base.py::build_quantized)."""
+    (solvers/base.py::build_quantized). Mixer is a fused-bf16-kernel
+    family, so the route REFUSES without model.quantize_force (measured
+    slower on chip — benchmarks/RESULTS.md) and builds when forced."""
+    import pytest
+
+    from robustart_tpu.core.config import Config
     from robustart_tpu.models.quantize_mixer import QuantizedMixer
     from robustart_tpu.solvers.base import Solver
 
@@ -94,5 +99,9 @@ def test_solver_dispatch_builds_quantized_mixer():
     calib = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
     solver = Solver.__new__(Solver)
     solver.classifier = clf
+    solver.cfg = Config({"model": {}})
+    with pytest.raises(ValueError, match="refused"):
+        solver.build_quantized(calib)
+    solver.cfg = Config({"model": {"quantize_force": True}})
     q = solver.build_quantized(calib)
     assert isinstance(q, QuantizedMixer)

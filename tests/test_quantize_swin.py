@@ -97,7 +97,12 @@ def test_uint8_and_float01_inputs_equal():
 
 def test_solver_dispatch_builds_quantized_swin():
     """build_quantized routes SwinTransformer to quantize_swin
-    (solvers/base.py::build_quantized)."""
+    (solvers/base.py::build_quantized). Swin is a fused-bf16-kernel
+    family, so the route REFUSES without model.quantize_force (measured
+    slower on chip — benchmarks/RESULTS.md) and builds when forced."""
+    import pytest
+
+    from robustart_tpu.core.config import Config
     from robustart_tpu.models.quantize_swin import QuantizedSwin
     from robustart_tpu.solvers.base import Solver
 
@@ -106,5 +111,9 @@ def test_solver_dispatch_builds_quantized_swin():
     calib = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
     solver = Solver.__new__(Solver)
     solver.classifier = clf
+    solver.cfg = Config({"model": {}})
+    with pytest.raises(ValueError, match="refused"):
+        solver.build_quantized(calib)
+    solver.cfg = Config({"model": {"quantize_force": True}})
     q = solver.build_quantized(calib)
     assert isinstance(q, QuantizedSwin)
