@@ -120,11 +120,16 @@ class ResNet(nn.Module):
     parameter keeps its (7, 7, 3, 64) torch-compatible shape — the zero-pad +
     rearrange happens inside the forward, so checkpoints convert unchanged.
 
-    Default OFF: measured perf-neutral on the current XLA build, and its
-    asymmetric (2,1) padding trips an XLA TPU fusion-emitter assert
-    (`window.pad_low == -1`) when fused into multi-forward programs
-    (observed in the ImageNet-P online path). Enable per-model once the
-    compiler bug is fixed.
+    Default OFF: measured perf-neutral on the current XLA build (chip,
+    round 5: train b128 2,493 vs 2,561 img/s, fwddx 4,516 vs 4,460,
+    fwdtrain 8,187 vs 8,371) — a pure train step never needs dL/dx through
+    the stem, so the stride-1-dgrad argument only touches the attack path,
+    where it measures +1.3%. The historical blocker is FIXED: the exact
+    (2,1) window pad tripped an XLA TPU fusion-emitter assert
+    (`window.pad_low == -1`) in multi-forward programs; the stem now uses
+    the symmetric (2,2) form + static slice, verified on chip inside a
+    corruption + two-forward + fused-argmax program. Safe to enable
+    per-model; kept off because it doesn't pay.
     """
 
     block: Callable[..., nn.Module]
@@ -151,10 +156,17 @@ class ResNet(nn.Module):
         k_pad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8,8,3,64)
         k_s2d = k_pad.reshape(4, 2, 4, 2, 3, 64)
         k_s2d = k_s2d.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, 64)
-        return jax.lax.conv_general_dilated(
-            x_s2d.astype(self.dtype), k_s2d, (1, 1), [(2, 1), (2, 1)],
+        # SYMMETRIC (2, 2) window pad + static slice of the extra row/col
+        # instead of the exact (2, 1): the asymmetric window attribute is
+        # what trips this XLA TPU build's fusion-emitter assert
+        # (`window.pad_low == -1`) in multi-forward programs; out'[i] for
+        # i ≤ H/2−1 reads x[i−2 .. i+1] identically, the (2,2) form just
+        # appends one extra output position that the slice drops.
+        out = jax.lax.conv_general_dilated(
+            x_s2d.astype(self.dtype), k_s2d, (1, 1), [(2, 2), (2, 2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        return out[:, : h // 2, : w_ // 2, :]
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

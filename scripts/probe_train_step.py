@@ -43,10 +43,12 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/robustart_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def make_classifier(name):
+def make_classifier(name, s2d=False):
     from robustart_tpu.models import create_classifier
 
     kwargs = {}
+    if s2d:
+        kwargs["stem_s2d"] = True
     if name.startswith("vit"):
         kwargs.update(attention_impl="pallas", dropout=0.0,
                       attention_dropout=0.0, drop_path=0.0)
@@ -54,8 +56,8 @@ def make_classifier(name):
                              dtype=jnp.bfloat16, **kwargs)
 
 
-def measure(name, batch, variant, opt, iters=10, warm=2):
-    clf = make_classifier(name)
+def measure(name, batch, variant, opt, iters=10, warm=2, s2d=False):
+    clf = make_classifier(name, s2d=s2d)
     labels = jnp.asarray(np.arange(batch) % 1000)
     tx = (optax.sgd(0.1, momentum=0.9, nesterov=True) if opt == "sgd"
           else optax.adamw(1e-3, weight_decay=0.05))
@@ -126,6 +128,8 @@ def main():
                     default="full,b512,evalbn,nosgd,fwdtrain,fwddx,"
                             "fwddx_train")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--s2d", action="store_true",
+                    help="ResNet stem_s2d=True (symmetric-pad s2d stem)")
     args = ap.parse_args()
     opt = "adamw" if args.model.startswith("vit") else "sgd"
     for variant in args.variants.split(","):
@@ -134,8 +138,9 @@ def main():
         if v.startswith("b") and v[1:].isdigit():
             batch, v = int(v[1:]), "full"
         try:
-            row = measure(args.model, batch, v, opt, iters=args.iters)
-            row["variant"] = variant
+            row = measure(args.model, batch, v, opt, iters=args.iters,
+                          s2d=args.s2d)
+            row["variant"] = variant + ("+s2d" if args.s2d else "")
         except Exception as e:
             row = {"model": args.model, "variant": variant,
                    "error": f"{type(e).__name__}: {e}"[:200]}
