@@ -356,6 +356,7 @@ class Solver:
         self.world_size = self.dist.world_size
         self.classifier = None
         self._eval_fn = None
+        self._eval_pure = None
 
     # -- model --
     def build_model(self, seed: int = 0):
@@ -444,6 +445,30 @@ class Solver:
 
         self._eval_fn = wrapped
         return wrapped
+
+    def eval_pure(self):
+        """``(pure_fn, params)`` — the UN-jitted eval forward, for fusing
+        into larger single-dispatch programs (ImageNet-P online videos fuse
+        frame synthesis + forward + argmax into one ``fori_loop`` program;
+        two dispatches per frame otherwise). ``pure_fn(params, u8_images)``
+        returns logits; ``params`` is the variables tree, or the quantized
+        param struct after ``maybe_quantize`` swapped the int8 path in.
+        Returns None when the eval forward is not one pure fn (pipeline
+        parallel stages dispatch per microbatch).
+        """
+        self.maybe_deploy()
+        if self.pipeline_parallel > 1:
+            return None
+        if self._eval_pure is not None:
+            return self._eval_pure
+        clf = self.classifier
+
+        def fn(variables, images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            return clf.apply_fn(variables, x, train=False)
+
+        self._eval_pure = (fn, self.classifier.variables)
+        return self._eval_pure
 
     def _build_pipeline_eval_fn(self) -> Callable:
         """Eval forward with the ViT trunk GPipe'd over the ``pipe`` axis.
@@ -566,6 +591,7 @@ class Solver:
             return jfn(qparams, images_u8)
 
         self._eval_fn = wrapped
+        self._eval_pure = (q.apply_fn, qparams)
         logger.info("int8 eval path enabled (%s, calib %d images)",
                     q.name, len(calib))
         return True
@@ -593,6 +619,7 @@ class Solver:
             return False  # tp sharding rules target the train-form tree
         self.classifier = deploy_classifier(self.classifier)
         self._eval_fn = None  # rebuild on the fused module
+        self._eval_pure = None
         logger.info(
             "RepVGG: eval uses the re-parameterized deploy form "
             "(model.deploy: false keeps the train form)"

@@ -138,17 +138,39 @@ class ImgnetPEvalSolver(Solver):
                 split_cfg_override=override, seed=int(cfg.get("seed", 0)),
             )
             # items are .npy videos (F, H, W, 3); loader yields them stacked
+            preds_fn = self._batch_preds_fn(eval_fn)
             for batch in loader:
                 vids = batch.image  # (B, F, H, W, 3) uint8
                 b, f = vids.shape[0], vids.shape[1]
                 flat = vids.reshape((b * f,) + vids.shape[2:])
-                preds = np.asarray(eval_fn(variables, flat)).argmax(-1)
-                preds = preds.reshape(b, f)
+                preds = preds_fn(variables, flat).reshape(b, f)
                 for i in range(b):
                     if batch.mask[i]:
                         writer.write({"predictions": preds[i].tolist()})
         writer.close()
         writer.merge()
+
+    def _batch_preds_fn(self, eval_fn):
+        """``(variables, u8 images) -> int preds`` with the argmax fused
+        on device when the eval forward is a single pure program — fetching
+        B·F int32 instead of B·F×1000 float logits per stored-video batch.
+        Falls back to host argmax over logits (pipeline parallelism)."""
+        pure = self.eval_pure()
+        if pure is None:
+            return lambda variables, u8: np.asarray(
+                eval_fn(variables, u8)
+            ).argmax(-1)
+        import jax
+        import jax.numpy as jnp
+
+        pure_fn, eval_params = pure
+        jfn = jax.jit(lambda p, u8: jnp.argmax(pure_fn(p, u8), -1))
+
+        def preds(variables, u8):
+            del variables  # eval_params carries the (possibly int8) tree
+            return np.asarray(jfn(eval_params, jnp.asarray(u8)))
+
+        return preds
 
     def _eval_online_videos(self, pert, n_frames, writer, limit, eval_fn,
                             variables):
@@ -173,32 +195,76 @@ class ImgnetPEvalSolver(Solver):
         def frame_fn(x01, frame, key):
             return perturb_frame(pert, x01, frame, key, n_frames)
 
-        # frame synthesis and classification are SEPARATE XLA programs: the
-        # current XLA TPU build mis-compiles certain corruption+conv fusions
-        # (fusion_emitter `window.pad_low == -1` assert), and a barrier inside
-        # one program does not prevent it. Two dispatches per frame is the
-        # robust form; the classifier program is shared with every other
-        # solver (same cache entry).
-        @functools.partial(jax.jit, static_argnames=("f",))
-        def gen_frames(images_u8, f, key):
-            x01 = images_u8.astype(jnp.float32) / 255.0
-            frames = jax.vmap(
-                lambda img, k: frame_fn(img, f, k)
-            )(x01, jax.random.split(key, x01.shape[0]))
-            return jnp.floor(jnp.clip(frames, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        # Default: the whole video is ONE XLA program — a fori_loop over
+        # frames fusing synthesis + forward + argmax, so a batch costs one
+        # dispatch (upload B images, fetch B·F int32 preds) instead of
+        # 2·n_frames dispatches with per-frame image round trips and full
+        # logits fetches. The historical reason for splitting — the XLA TPU
+        # fusion-emitter `window.pad_low == -1` abort on certain
+        # corruption+conv fusions — is resolved: the s2d (2,1) pad trigger
+        # is rewritten symmetric (models/resnet.py), and the fused form for
+        # all 10 default perturbations is chip-validated by
+        # scripts/bench_imagenet_p.py's megastep (round 5).
+        # ``data.test.imagenet_p_fused: false`` restores the split form
+        # (also used automatically under pipeline parallelism, where the
+        # eval forward is not a single pure program).
+        pure = self.eval_pure()
+        fused = (
+            bool(cfg.get_path("data.test.imagenet_p_fused", default=True))
+            and pure is not None
+        )
+        if fused:
+            pure_fn, eval_params = pure
 
-        # reuse the shared eval program (identical cache entry to every other
-        # solver); argmax on host — the same program with a fused argmax
-        # trips the compiler assert described above
-        def video_preds(variables, images_u8, key):
-            preds = []
-            for f in range(n_frames):
-                frames = np.asarray(
-                    gen_frames(images_u8, f, jax.random.fold_in(key, f))
+            @jax.jit
+            def video_preds_fused(params, images_u8, key):
+                x01c = images_u8.astype(jnp.float32) / 255.0
+                b = x01c.shape[0]
+
+                def frame(f, acc):
+                    ks = jax.random.split(jax.random.fold_in(key, f), b)
+                    fr = jax.vmap(lambda img, k: frame_fn(img, f, k))(
+                        x01c, ks
+                    )
+                    u8 = jnp.floor(
+                        jnp.clip(fr, 0.0, 1.0) * 255.0
+                    ).astype(jnp.uint8)
+                    logits = pure_fn(params, u8)
+                    return acc.at[f].set(
+                        jnp.argmax(logits, -1).astype(jnp.int32)
+                    )
+
+                preds = jax.lax.fori_loop(
+                    0, n_frames, frame,
+                    jnp.zeros((n_frames, b), jnp.int32),
                 )
-                logits = np.asarray(eval_fn(variables, frames))
-                preds.append(logits.argmax(-1))
-            return np.stack(preds, axis=1)  # (B, F)
+                return preds.T  # (B, F)
+
+            def video_preds(variables, images_u8, key):
+                del variables  # eval_params carries the (possibly int8) tree
+                return np.asarray(
+                    video_preds_fused(eval_params, jnp.asarray(images_u8), key)
+                )
+        else:
+            @functools.partial(jax.jit, static_argnames=("f",))
+            def gen_frames(images_u8, f, key):
+                x01 = images_u8.astype(jnp.float32) / 255.0
+                frames = jax.vmap(
+                    lambda img, k: frame_fn(img, f, k)
+                )(x01, jax.random.split(key, x01.shape[0]))
+                return jnp.floor(
+                    jnp.clip(frames, 0.0, 1.0) * 255.0
+                ).astype(jnp.uint8)
+
+            def video_preds(variables, images_u8, key):
+                preds = []
+                for f in range(n_frames):
+                    frames = np.asarray(
+                        gen_frames(images_u8, f, jax.random.fold_in(key, f))
+                    )
+                    logits = np.asarray(eval_fn(variables, frames))
+                    preds.append(logits.argmax(-1))
+                return np.stack(preds, axis=1)  # (B, F)
 
         key = jax.random.key(int(cfg.get("seed", 0)) + hash(pert) % 10000)
         n_done = 0
@@ -224,6 +290,7 @@ class ImgnetPEvalSolver(Solver):
             seed=int(cfg.get("seed", 0)),
         )
         rng = np.random.default_rng(17)
+        preds_fn = self._batch_preds_fn(eval_fn)
         n_done = 0
         for batch in loader:
             imgs = batch.image.astype(np.float32)
@@ -234,8 +301,7 @@ class ImgnetPEvalSolver(Solver):
                 axis=1,
             ).astype(np.uint8)
             flat = frames.reshape((b * n_frames,) + frames.shape[2:])
-            preds = np.asarray(eval_fn(variables, flat)).argmax(-1)
-            preds = preds.reshape(b, n_frames)
+            preds = preds_fn(variables, flat).reshape(b, n_frames)
             for i in range(b):
                 if batch.mask[i]:
                     writer.write({"predictions": preds[i].tolist()})

@@ -171,6 +171,31 @@ def test_imgnet_p_online_sequences(tmp_path):
     assert len(lines) == 16 and len(lines[0]["predictions"]) == 3
 
 
+def test_imgnet_p_online_fused_matches_split(tmp_path):
+    """The single-dispatch fused video program (synth + forward + argmax in
+    one fori_loop) writes the same predictions as the split two-dispatch
+    form it replaced (imagenet_p_fused: false)."""
+    def run(sub, fused):
+        cfg = _cfg(
+            tmp_path / sub,
+            imagenet_p_online=True,
+            imagenet_p_fused=fused,
+            perturbations=["gaussian_noise", "rotate"],
+            n_frames=3,
+        )
+        cfg.saver = {"results_dir": str(tmp_path / sub / "results")}
+        ImgnetPEvalSolver(cfg).evaluate()
+        out = {}
+        for pert in ("gaussian_noise", "rotate"):
+            res = tmp_path / sub / "results" / pert / "results.txt.all"
+            out[pert] = [json.loads(l)["predictions"] for l in open(res)]
+        return out
+
+    fused = run("fused", True)
+    split = run("split", False)
+    assert fused == split
+
+
 def test_benchmark_eval_adv_autoattack(tmp_path):
     cfg = _cfg(tmp_path)
     cfg.autoattack_kwargs = {
