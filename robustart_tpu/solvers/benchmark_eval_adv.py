@@ -121,42 +121,72 @@ class BenchmarkEvalAdvSolver(Solver):
         # per-config hyperparameter overrides (e.g. fewer AutoAttack iters
         # for smoke runs): cfg.attack_kwargs merges into the attack config
         config.update(dict(cfg.get("attack_kwargs") or {}))
+        import jax.numpy as jnp
+
         if self.attack == "autoattack_linf":
+            # AutoAttack's cascade worklist is host-orchestrated — the
+            # adversarial batch must round-trip; only the argmax fuses.
             from robustart_tpu.attacks.autoattack import AutoAttack
 
             aa_kwargs = dict(cfg.get("autoattack_kwargs") or {})
             aa = AutoAttack(src, norm="Linf", eps=config["eps"],
                             version="standard", verbose=False, **aa_kwargs)
-            def gen(x01, labels, key):
-                return aa.run_standard_evaluation(x01, labels, bs=x01.shape[0])
+            pred_fn = jax.jit(
+                lambda v, x01: jnp.argmax(
+                    tgt.apply_fn(v, x01, train=False), -1
+                )
+            )
+
+            def batch_preds(images_u8, labels, key):
+                x01 = images_u8.astype(np.float32) / 255.0
+                clean = np.asarray(pred_fn(tgt.variables, x01))
+                x_adv = aa.run_standard_evaluation(
+                    x01, labels, bs=x01.shape[0]
+                )
+                adv = np.asarray(
+                    pred_fn(tgt.variables, np.asarray(x_adv))
+                )
+                return clean, adv
         else:
-            fn = make_attack_fn(
+            # gradient attacks fuse end-to-end: uint8 in, attack generation,
+            # BOTH target forwards and the argmaxes in ONE XLA program —
+            # fetch 2·B int32 per batch instead of round-tripping the
+            # adversarial image batch and two full logits arrays.
+            attack_pure = make_attack_fn(
                 self.attack,
                 lambda v, img: src.apply_fn(v, img, train=False),
-                jit=True,
+                jit=False,
                 **config,
             )
-            def gen(x01, labels, key):
-                return fn(src.variables, x01, labels, key)
 
-        tgt_fn = jax.jit(
-            lambda v, x01: tgt.apply_fn(v, x01, train=False)
-        )
+            @jax.jit
+            def fused(src_vars, tgt_vars, images_u8, labels, key):
+                x01 = images_u8.astype(jnp.float32) / 255.0
+                clean = jnp.argmax(
+                    tgt.apply_fn(tgt_vars, x01, train=False), -1
+                )
+                x_adv = attack_pure(src_vars, x01, labels, key)
+                adv = jnp.argmax(
+                    tgt.apply_fn(tgt_vars, x_adv, train=False), -1
+                )
+                return clean, adv
+
+            def batch_preds(images_u8, labels, key):
+                clean, adv = fused(
+                    src.variables, tgt.variables, jnp.asarray(images_u8),
+                    jnp.asarray(labels), key,
+                )
+                return np.asarray(clean), np.asarray(adv)
 
         w_clean = ResultWriter(clean_file, self.rank, self.world_size)
         w_adv = ResultWriter(adv_file, self.rank, self.world_size)
         key = jax.random.key(int(cfg.get("seed", 0)))
         n = 0
         for bi, batch in enumerate(loader):
-            x01 = batch.image.astype(np.float32) / 255.0
             labels = batch.label
-            clean_pred = np.asarray(
-                tgt_fn(tgt.variables, x01)
-            ).argmax(-1)
-            x_adv = gen(x01, labels, jax.random.fold_in(key, bi))
-            adv_pred = np.asarray(
-                tgt_fn(tgt.variables, np.asarray(x_adv))
-            ).argmax(-1)
+            clean_pred, adv_pred = batch_preds(
+                batch.image, labels, jax.random.fold_in(key, bi)
+            )
             for i in range(len(batch.mask)):
                 if batch.mask[i]:
                     w_clean.write(

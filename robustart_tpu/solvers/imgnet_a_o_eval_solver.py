@@ -96,13 +96,33 @@ class ImgnetAOEvalSolver(Solver):
         )
         eval_fn = self.eval_fn()
         variables = self.classifier.variables
+        # the confidence protocol only needs (max softmax prob, argmax) per
+        # sample — reduce on device and fetch 2·B scalars, not B×1000 logits
+        pure = self.eval_pure()
+        if pure is None:
+            def stats_fn(variables, images_u8):
+                probs = np.asarray(
+                    jax.nn.softmax(eval_fn(variables, images_u8), axis=-1)
+                )
+                return probs.max(axis=-1), probs.argmax(axis=-1)
+        else:
+            import jax.numpy as jnp
+
+            pure_fn, eval_params = pure
+            jfn = jax.jit(lambda p, u8: (
+                jnp.max(jax.nn.softmax(pure_fn(p, u8), -1), -1),
+                jnp.argmax(pure_fn(p, u8), -1),
+            ))
+
+            def stats_fn(variables, images_u8):
+                del variables  # eval_params carries the (possibly int8) tree
+                conf, pred = jfn(eval_params, jnp.asarray(images_u8))
+                return np.asarray(conf), np.asarray(pred)
+
         writer = ResultWriter(res_file, self.rank, self.world_size)
         n = 0
         for batch in loader:
-            logits = eval_fn(variables, batch.image)
-            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
-            conf = probs.max(axis=-1)
-            pred = probs.argmax(axis=-1)
+            conf, pred = stats_fn(variables, batch.image)
             mask = batch.mask
             correct = (pred == batch.label) & mask
             record = {
