@@ -171,12 +171,43 @@ class BenchmarkEvalAdvSolver(Solver):
                 )
                 return clean, adv
 
-            def batch_preds(images_u8, labels, key):
-                clean, adv = fused(
-                    src.variables, tgt.variables, jnp.asarray(images_u8),
-                    jnp.asarray(labels), key,
+            attack_jit = make_attack_fn(
+                self.attack,
+                lambda v, img: src.apply_fn(v, img, train=False),
+                jit=True,
+                **config,
+            )
+            pred_fn = jax.jit(
+                lambda v, x01: jnp.argmax(
+                    tgt.apply_fn(v, x01, train=False), -1
                 )
-                return np.asarray(clean), np.asarray(adv)
+            )
+            state = {"fused": True}
+
+            def batch_preds(images_u8, labels, key):
+                if state["fused"]:
+                    try:
+                        clean, adv = fused(
+                            src.variables, tgt.variables,
+                            jnp.asarray(images_u8), jnp.asarray(labels), key,
+                        )
+                        return np.asarray(clean), np.asarray(adv)
+                    except jax.errors.JaxRuntimeError as e:
+                        # a fusion-emitter abort only kills the out-of-process
+                        # compile helper — fall back to split dispatches
+                        logger.warning(
+                            "fused attack-eval program failed to compile "
+                            "(%s); falling back to split dispatches",
+                            str(e).splitlines()[0][:160],
+                        )
+                        state["fused"] = False
+                x01 = images_u8.astype(np.float32) / 255.0
+                clean = np.asarray(pred_fn(tgt.variables, x01))
+                x_adv = attack_jit(src.variables, x01, labels, key)
+                adv = np.asarray(
+                    pred_fn(tgt.variables, np.asarray(x_adv))
+                )
+                return clean, adv
 
         w_clean = ResultWriter(clean_file, self.rank, self.world_size)
         w_adv = ResultWriter(adv_file, self.rank, self.world_size)

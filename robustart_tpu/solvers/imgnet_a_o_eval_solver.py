@@ -114,10 +114,26 @@ class ImgnetAOEvalSolver(Solver):
                 jnp.argmax(pure_fn(p, u8), -1),
             ))
 
+            state = {"fused": True}
+
             def stats_fn(variables, images_u8):
-                del variables  # eval_params carries the (possibly int8) tree
-                conf, pred = jfn(eval_params, jnp.asarray(images_u8))
-                return np.asarray(conf), np.asarray(pred)
+                if state["fused"]:
+                    try:
+                        conf, pred = jfn(eval_params, jnp.asarray(images_u8))
+                        return np.asarray(conf), np.asarray(pred)
+                    except jax.errors.JaxRuntimeError as e:
+                        # fusion-emitter abort kills only the compile helper;
+                        # fall back to host-side reductions over logits
+                        logger.warning(
+                            "fused confidence program failed to compile "
+                            "(%s); falling back to host reductions",
+                            str(e).splitlines()[0][:160],
+                        )
+                        state["fused"] = False
+                probs = np.asarray(
+                    jax.nn.softmax(eval_fn(variables, images_u8), axis=-1)
+                )
+                return probs.max(axis=-1), probs.argmax(axis=-1)
 
         writer = ResultWriter(res_file, self.rank, self.world_size)
         n = 0

@@ -165,10 +165,22 @@ class ImgnetPEvalSolver(Solver):
 
         pure_fn, eval_params = pure
         jfn = jax.jit(lambda p, u8: jnp.argmax(pure_fn(p, u8), -1))
+        state = {"fused": True}
 
         def preds(variables, u8):
-            del variables  # eval_params carries the (possibly int8) tree
-            return np.asarray(jfn(eval_params, jnp.asarray(u8)))
+            if state["fused"]:
+                try:
+                    return np.asarray(jfn(eval_params, jnp.asarray(u8)))
+                except jax.errors.JaxRuntimeError as e:
+                    # fusion-emitter abort kills only the compile helper;
+                    # fall back to host argmax over fetched logits
+                    logger.warning(
+                        "fused argmax program failed to compile (%s); "
+                        "falling back to host argmax",
+                        str(e).splitlines()[0][:160],
+                    )
+                    state["fused"] = False
+            return np.asarray(eval_fn(variables, u8)).argmax(-1)
 
         return preds
 
@@ -199,15 +211,18 @@ class ImgnetPEvalSolver(Solver):
         # frames fusing synthesis + forward + argmax, so a batch costs one
         # dispatch (upload B images, fetch B·F int32 preds) instead of
         # 2·n_frames dispatches with per-frame image round trips and full
-        # logits fetches. The historical reason for splitting — the XLA TPU
-        # fusion-emitter `window.pad_low == -1` abort on certain
-        # corruption+conv fusions — is resolved: the s2d (2,1) pad trigger
-        # is rewritten symmetric (models/resnet.py), and the fused form for
-        # all 10 default perturbations is chip-validated by
-        # scripts/bench_imagenet_p.py's megastep (round 5).
-        # ``data.test.imagenet_p_fused: false`` restores the split form
-        # (also used automatically under pipeline parallelism, where the
-        # eval forward is not a single pure program).
+        # logits fetches (chip A/B: 31 → 1,412 img-frames/s through the
+        # relay). The fused form for all 10 default perturbations at 224²
+        # is chip-validated by scripts/bench_imagenet_p.py's megastep, but
+        # certain (model, size, perturbation) fusions still trip this XLA
+        # TPU build's fusion-emitter `window.pad_low` assert (observed:
+        # rotate + resnet18 @32²) — that only kills the out-of-process
+        # compile helper (JaxRuntimeError: HTTP 500 SIGABRT), so the first
+        # batch's compile is the probe: on failure we log and fall back to
+        # the split two-dispatch form for this perturbation.
+        # ``data.test.imagenet_p_fused: false`` skips the attempt (also
+        # automatic under pipeline parallelism, where the eval forward is
+        # not a single pure program).
         pure = self.eval_pure()
         fused = (
             bool(cfg.get_path("data.test.imagenet_p_fused", default=True))
@@ -240,31 +255,41 @@ class ImgnetPEvalSolver(Solver):
                 )
                 return preds.T  # (B, F)
 
-            def video_preds(variables, images_u8, key):
-                del variables  # eval_params carries the (possibly int8) tree
-                return np.asarray(
-                    video_preds_fused(eval_params, jnp.asarray(images_u8), key)
-                )
-        else:
-            @functools.partial(jax.jit, static_argnames=("f",))
-            def gen_frames(images_u8, f, key):
-                x01 = images_u8.astype(jnp.float32) / 255.0
-                frames = jax.vmap(
-                    lambda img, k: frame_fn(img, f, k)
-                )(x01, jax.random.split(key, x01.shape[0]))
-                return jnp.floor(
-                    jnp.clip(frames, 0.0, 1.0) * 255.0
-                ).astype(jnp.uint8)
+        @functools.partial(jax.jit, static_argnames=("f",))
+        def gen_frames(images_u8, f, key):
+            x01 = images_u8.astype(jnp.float32) / 255.0
+            frames = jax.vmap(
+                lambda img, k: frame_fn(img, f, k)
+            )(x01, jax.random.split(key, x01.shape[0]))
+            return jnp.floor(
+                jnp.clip(frames, 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
 
-            def video_preds(variables, images_u8, key):
-                preds = []
-                for f in range(n_frames):
-                    frames = np.asarray(
-                        gen_frames(images_u8, f, jax.random.fold_in(key, f))
+        def video_preds_split(variables, images_u8, key):
+            preds = []
+            for f in range(n_frames):
+                frames = np.asarray(
+                    gen_frames(images_u8, f, jax.random.fold_in(key, f))
+                )
+                logits = np.asarray(eval_fn(variables, frames))
+                preds.append(logits.argmax(-1))
+            return np.stack(preds, axis=1)  # (B, F)
+
+        def video_preds(variables, images_u8, key):
+            nonlocal fused
+            if fused:
+                try:
+                    return np.asarray(video_preds_fused(
+                        eval_params, jnp.asarray(images_u8), key
+                    ))
+                except jax.errors.JaxRuntimeError as e:
+                    logger.warning(
+                        "fused ImageNet-P program failed to compile for %r "
+                        "(%s); falling back to the split two-dispatch form",
+                        pert, str(e).splitlines()[0][:160],
                     )
-                    logits = np.asarray(eval_fn(variables, frames))
-                    preds.append(logits.argmax(-1))
-                return np.stack(preds, axis=1)  # (B, F)
+                    fused = False
+            return video_preds_split(variables, images_u8, key)
 
         key = jax.random.key(int(cfg.get("seed", 0)) + hash(pert) % 10000)
         n_done = 0
